@@ -1,0 +1,66 @@
+import cv2
+import numpy as np
+
+from fami_pose_tpu.ops import affine as A
+from fami_pose_tpu.ops import warp as W
+
+
+def test_warp_matches_cv2(rng):
+    img = rng.rand(100, 120, 3).astype(np.float32) * 255
+    center = np.array([60.0, 50.0])
+    scale = np.array([0.5, 0.6])
+    m = A.get_affine_transform(center, scale, 20.0, (72, 96)).astype(np.float32)
+    want = cv2.warpAffine(img, m.astype(np.float64), (72, 96), flags=cv2.INTER_LINEAR)
+    got = np.asarray(W.warp_affine(img[None], m[None], (96, 72)))[0]
+    # cv2 uses 5-bit fixed-point interpolation weights -> small differences
+    assert np.abs(got - want).max() < 1.0
+    assert np.abs(got - want).mean() < 0.1
+
+
+def test_warp_identity(rng):
+    img = rng.rand(32, 40, 4).astype(np.float32)
+    eye = np.array([[1.0, 0, 0], [0, 1, 0]], np.float32)
+    out = np.asarray(W.warp_affine(img[None], eye[None], (32, 40)))[0]
+    np.testing.assert_allclose(out, img, atol=1e-5)
+
+
+def test_translate_integer_shift(rng):
+    img = rng.rand(16, 16, 2).astype(np.float32)
+    out = np.asarray(W.warp_translate(img[None], np.array([[3.0, -2.0]])))[0]
+    # dst(x, y) = src(x - 3, y + 2); zero where out of bounds
+    np.testing.assert_allclose(out[:14, 3:], img[2:, :13], atol=1e-6)
+    assert np.all(out[:, :3] == 0)
+    assert np.all(out[14:, :] == 0)
+
+
+def test_translate_matches_kornia_semantics(rng):
+    """kornia.warp_affine(img, [[1,0,tx],[0,1,ty]]) shifts content by +t."""
+    img = np.zeros((1, 9, 9, 1), np.float32)
+    img[0, 4, 4, 0] = 1.0
+    out = np.asarray(W.warp_translate(img, np.array([[2.0, 1.0]])))
+    assert out[0, 5, 6, 0] == 1.0
+
+
+def test_crop_and_warp_matches_cv2(rng):
+    frames = (rng.rand(2, 80, 90, 3) * 255).astype(np.uint8)
+    centers = np.array([[45.0, 40.0], [30.0, 35.0]], np.float32)
+    scales = np.array([[0.4, 0.5], [0.3, 0.35]], np.float32)
+    rots = np.array([0.0, 15.0], np.float32)
+    got = np.asarray(W.crop_and_warp(frames, centers, scales, rots, (96, 72), dark=True))
+    for i in range(2):
+        m = A.dark_get_affine_transform(centers[i], scales[i], rots[i], (72, 96))
+        want = cv2.warpAffine(frames[i].astype(np.float32), m, (72, 96), flags=cv2.INTER_LINEAR)
+        assert np.abs(got[i] - want).max() < 1.5
+
+
+def test_warp_gradients_flow():
+    import jax
+    import jax.numpy as jnp
+
+    img = jnp.ones((1, 8, 8, 1))
+
+    def loss(off):
+        return jnp.sum(W.warp_translate(img, off) ** 2)
+
+    g = jax.grad(loss)(jnp.array([[0.5, 0.5]]))
+    assert np.all(np.isfinite(np.asarray(g)))
