@@ -1,0 +1,3 @@
+from .layers import ConvBnAct, BasicBlock, Bottleneck, ChainOfBasicBlocks, Interpolate
+from .hrnet import HRNet, HighResolutionModule
+from .build import build_model, get_model_hyperparameter
