@@ -1,3 +1,4 @@
 from .layers import ConvBnAct, BasicBlock, Bottleneck, ChainOfBasicBlocks, Interpolate
 from .hrnet import HRNet, HighResolutionModule
 from .build import build_model, get_model_hyperparameter
+from .fami_pose import FAMIPose, GlobalOffsetHead, DeformConv, init_weights_reference

@@ -1,0 +1,165 @@
+"""Modulated deformable convolution (DCNv2), TPU-native.
+
+Replaces ``torchvision.ops.DeformConv2d`` used by the reference's hierarchical
+alignment head (``Alignment_V15.py:83-101,144-158``; wrapper
+``posetimation/layers/basic_model.py:151-184``). The reference computes this
+with a CUDA kernel; here it is re-designed for XLA/TPU as *im2col by bilinear
+gather*: for each of the K = kh*kw kernel taps (a static, trace-time loop) we
+bilinearly sample the input at offset-shifted positions, modulate by the mask,
+and stack the taps into a column tensor that feeds a single large matmul —
+the FLOPs land on the MXU, and the gathers vectorize on the VPU.
+
+Semantics are torchvision-compatible so weights/offsets port 1:1:
+  * ``offset`` channels are ordered ``(dy, dx)`` pairs per (offset_group,
+    tap): channel ``2*(g*K + k)`` is the vertical shift for group ``g`` tap
+    ``k``; ``2*(g*K+k)+1`` horizontal.
+  * ``mask`` channel ``g*K + k`` multiplies the sampled value *before* the
+    convolution weight (raw, no sigmoid — matching the reference, which
+    feeds the mask conv's raw output straight in, ``Alignment_V15.py:146``).
+  * Sampling position for output pixel (i, j), tap (a, b):
+    ``y = i*stride - pad + a*dilation + dy``, same for x; bilinear, zeros
+    outside the input.
+
+Layout is NHWC (weights HWIO); a Pallas-fused variant lives in
+``fami_pose_tpu.ops.pallas.dcn`` and must match this implementation bit-for-bit
+in its tests.
+"""
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _pair(v) -> Tuple[int, int]:
+    if isinstance(v, (tuple, list)):
+        return (int(v[0]), int(v[1]))
+    return (int(v), int(v))
+
+
+def _bilinear_gather_grouped(x, py, px):
+    """Sample grouped features at per-(pixel, group) float coords.
+
+    Args:
+      x: (N, H, W, G, Cg) input features, split by offset group.
+      py, px: (N, Ho, Wo, G) float sample coordinates.
+
+    Returns:
+      (N, Ho, Wo, G, Cg) bilinearly-sampled values; zero outside the image.
+    """
+    n, h, w, g, cg = x.shape
+    _, ho, wo, _ = py.shape
+
+    y0 = jnp.floor(py)
+    x0 = jnp.floor(px)
+    wy = (py - y0)[..., None]
+    wx = (px - x0)[..., None]
+    y0i = y0.astype(jnp.int32)
+    x0i = x0.astype(jnp.int32)
+
+    # (N, G, H*W, Cg) so the gather runs along one flat spatial axis
+    xf = x.transpose(0, 3, 1, 2, 4).reshape(n, g, h * w, cg)
+
+    def corner(yi, xi):
+        valid = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+        yc = jnp.clip(yi, 0, h - 1)
+        xc = jnp.clip(xi, 0, w - 1)
+        idx = (yc * w + xc).reshape(n, ho * wo, g).transpose(0, 2, 1)  # (N,G,P)
+        vals = jnp.take_along_axis(xf, idx[..., None], axis=2)  # (N,G,P,Cg)
+        vals = vals.transpose(0, 2, 1, 3).reshape(n, ho, wo, g, cg)
+        return vals * valid[..., None].astype(x.dtype)
+
+    v00 = corner(y0i, x0i)
+    v01 = corner(y0i, x0i + 1)
+    v10 = corner(y0i + 1, x0i)
+    v11 = corner(y0i + 1, x0i + 1)
+
+    wy = wy.astype(x.dtype)
+    wx = wx.astype(x.dtype)
+    top = v00 * (1 - wx) + v01 * wx
+    bot = v10 * (1 - wx) + v11 * wx
+    return top * (1 - wy) + bot * wy
+
+
+@partial(
+    jax.jit,
+    static_argnames=("stride", "padding", "dilation", "offset_groups"),
+)
+def deform_conv2d(
+    x,
+    offset,
+    mask,
+    weight,
+    bias=None,
+    *,
+    stride=1,
+    padding=0,
+    dilation=1,
+    offset_groups: Optional[int] = None,
+):
+    """Modulated deformable 2-D convolution (NHWC).
+
+    Args:
+      x: (N, H, W, C) input.
+      offset: (N, Ho, Wo, 2*G*K) sampling offsets, (dy, dx) pairs.
+      mask: (N, Ho, Wo, G*K) modulation (applied raw), or None for DCNv1.
+      weight: (kh, kw, C, C_out) convolution weights (HWIO).
+      bias: (C_out,) or None.
+      stride / padding / dilation: int or (h, w) pairs.
+      offset_groups: G; inferred from the offset channel count by default.
+
+    Returns:
+      (N, Ho, Wo, C_out).
+    """
+    n, h, w, c = x.shape
+    kh, kw, wc, c_out = weight.shape
+    if wc != c:
+        raise ValueError(f"weight expects {wc} input channels, x has {c}")
+    k = kh * kw
+    sh, sw = _pair(stride)
+    ph, pw = _pair(padding)
+    dh, dw = _pair(dilation)
+
+    g = offset_groups or offset.shape[-1] // (2 * k)
+    if offset.shape[-1] != 2 * g * k:
+        raise ValueError(
+            f"offset has {offset.shape[-1]} channels, expected {2 * g * k}"
+        )
+    if c % g != 0:
+        raise ValueError(f"channels {c} not divisible by offset groups {g}")
+    cg = c // g
+    _, ho, wo, _ = offset.shape
+
+    xg = x.reshape(n, h, w, g, cg)
+    # offset channels: [g, k, (dy, dx)]
+    off = offset.reshape(n, ho, wo, g, k, 2)
+    msk = None if mask is None else mask.reshape(n, ho, wo, g, k)
+
+    oy = jnp.arange(ho, dtype=x.dtype)[:, None] * sh - ph  # (Ho, 1)
+    ox = jnp.arange(wo, dtype=x.dtype)[None, :] * sw - pw  # (1, Wo)
+
+    cols = []
+    for a in range(kh):
+        for b in range(kw):
+            t = a * kw + b
+            py = oy[None, :, :, None] + a * dh + off[..., t, 0]
+            px = ox[None, :, :, None] + b * dw + off[..., t, 1]
+            v = _bilinear_gather_grouped(xg, py, px)  # (N,Ho,Wo,G,Cg)
+            if msk is not None:
+                v = v * msk[..., t, None]
+            cols.append(v.reshape(n, ho, wo, c))
+
+    # (N*Ho*Wo, K*C) @ (K*C, C_out): one MXU-friendly contraction
+    col = jnp.stack(cols, axis=3).reshape(n * ho * wo, k * c)
+    wmat = weight.reshape(k * c, c_out)
+    out = jnp.dot(col, wmat, preferred_element_type=x.dtype)
+    out = out.reshape(n, ho, wo, c_out)
+    if bias is not None:
+        out = out + bias
+    return out
+
+
+def deform_conv2d_output_size(in_size, kernel, stride, padding, dilation):
+    """Conv output spatial size (same formula as torch)."""
+    return (in_size + 2 * padding - dilation * (kernel - 1) - 1) // stride + 1
