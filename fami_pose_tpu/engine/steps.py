@@ -1,0 +1,142 @@
+"""Jitted train / eval steps with mesh sharding.
+
+The TPU-native heart of the framework (reference:
+``engine/core/functions/alignment_mi_function_term6_1.py:72-220``): one
+compiled function per config does forward + loss + backward + optimizer
+update + on-device metrics. Batches arrive sharded on the mesh ``data`` axis;
+parameters are replicated; XLA inserts the gradient all-reduce (and makes
+BatchNorm statistics *global*, i.e. sync-BN — stronger than the reference's
+per-GPU DataParallel BN; documented parity deviation, SURVEY §7 hard-part 3).
+
+No per-step host syncs: PCK accuracy is computed on device from heatmap
+argmax (``engine/core/utils/evaluate.py:13-75`` semantics) and fetched by the
+caller only at PRINT_FREQ boundaries.
+"""
+
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from fami_pose_tpu.losses import fami_total_loss
+from fami_pose_tpu.parallel.mesh import batch_sharding, replicate
+
+from .train_state import TrainState
+
+
+def heatmap_pck_accuracy(pred, target, thr: float = 0.5):
+    """Train-time PCK from heatmap argmax (reference ``accuracy``/
+    ``calc_dists``/``dist_acc``): distances normalized by (h/10, w/10),
+    counted correct under ``thr``; joints with target max <= 0 are ignored.
+
+    pred/target: (B, H, W, J) NHWC. Returns (avg_acc, valid_count).
+    """
+    b, h, w, j = pred.shape
+
+    def argmax_xy(hm):
+        flat = hm.reshape(b, h * w, j)
+        idx = jnp.argmax(flat, axis=1)  # (B, J)
+        maxv = jnp.max(flat, axis=1)
+        x = (idx % w).astype(jnp.float32)
+        y = (idx // w).astype(jnp.float32)
+        # reference get_max_preds zeroes coords where max <= 0
+        vis = (maxv > 0).astype(jnp.float32)
+        return x * vis, y * vis, maxv
+
+    px, py, _ = argmax_xy(pred.astype(jnp.float32))
+    tx, ty, tmax = argmax_xy(target.astype(jnp.float32))
+    norm = jnp.asarray([h / 10.0, w / 10.0], jnp.float32)
+    # reference normalizes (x, y) by (h/10, w/10) respectively
+    # (evaluate.py:30: dists of [x,y]/norm with norm=[h,w]*0.1)
+    d = jnp.sqrt(((px - tx) / norm[0]) ** 2 + ((py - ty) / norm[1]) ** 2)
+    valid = tmax > 0  # visible joints only (calc_dists: target>1 check is
+    # on heatmap-coord values; max>0 matches in practice for gaussian targets)
+    correct = (d < thr) & valid
+    cnt = jnp.sum(valid)
+    acc = jnp.where(cnt > 0, jnp.sum(correct) / jnp.maximum(cnt, 1), 0.0)
+    return acc, cnt
+
+
+def make_train_step(
+    model,
+    mesh=None,
+    mse_weight: float = 1.0,
+    donate: bool = True,
+):
+    """Build the jitted training step.
+
+    Returns ``step_fn(state, batch) -> (state, metrics)`` where batch is a
+    dict with keys ``kf`` (B,H,W,3), ``sup`` (B,H,W,3N), ``target``
+    (B,h,w,J), ``target_weight`` (B,J).
+    """
+
+    def step(state: TrainState, batch):
+        def loss_fn(params):
+            (final, sup_hms, kf_bb, mi), mut = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["kf"],
+                batch["sup"],
+                train=True,
+                mutable=["batch_stats"],
+            )
+            total, aux = fami_total_loss(
+                final, sup_hms, mi,
+                batch["target"], batch["target_weight"],
+                mse_weight=mse_weight,
+            )
+            return total, (aux, mut["batch_stats"], final, kf_bb, sup_hms)
+
+        (loss, (aux, new_stats, final, kf_bb, sup_hms)), grads = (
+            jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        )
+        new_state = state.apply_gradients(grads, new_batch_stats=new_stats)
+        acc, cnt = heatmap_pck_accuracy(final, batch["target"])
+        acc_bb, _ = heatmap_pck_accuracy(kf_bb, batch["target"])
+        metrics = dict(aux)
+        metrics["acc"] = acc
+        metrics["acc_kf_backbone"] = acc_bb
+        for i, hm in enumerate(sup_hms):
+            a, _ = heatmap_pck_accuracy(hm, batch["target"])
+            metrics[f"acc_sup{i + 1}"] = a
+        return new_state, metrics
+
+    kwargs = {}
+    if donate:
+        kwargs["donate_argnums"] = (0,)
+    if mesh is not None:
+        bs = batch_sharding(mesh)
+        rep = replicate(mesh)
+        kwargs["in_shardings"] = (None, jax.tree.map(lambda _: bs, {
+            "kf": 0, "sup": 0, "target": 0, "target_weight": 0,
+        }))
+        kwargs["out_shardings"] = None
+    return jax.jit(step, **kwargs)
+
+
+def make_eval_step(model, mesh=None, flip_test: bool = False, flip_pairs=None):
+    """Build the jitted eval step: forward (+ optional flip-test averaging).
+
+    Returns ``eval_fn(variables, kf, sup) -> (final_hm, kf_bb_hm)`` with
+    heatmaps in float32 NHWC.
+    """
+    from fami_pose_tpu.data.keypoints import COCO_FLIP_PAIRS
+    from fami_pose_tpu.ops.pose import flip_back_nhwc
+
+    pairs = flip_pairs if flip_pairs is not None else COCO_FLIP_PAIRS
+
+    def step(variables, kf, sup):
+        final, kf_bb = model.apply(variables, kf, sup, train=False)
+        if flip_test:
+            f_final, _ = model.apply(
+                variables, kf[:, :, ::-1, :], sup[:, :, ::-1, :], train=False
+            )
+            f_final = flip_back_nhwc(f_final, pairs)
+            final = (final + f_final) * 0.5
+        return final.astype(jnp.float32), kf_bb.astype(jnp.float32)
+
+    kwargs = {}
+    if mesh is not None:
+        bs = batch_sharding(mesh)
+        kwargs["in_shardings"] = (None, bs, bs)
+    return jax.jit(step, **kwargs)

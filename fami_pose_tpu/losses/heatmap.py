@@ -81,13 +81,16 @@ def fami_total_loss(
 
 
 def build_loss(cfg):
-    """Loss factory keyed on ``cfg.LOSS.NAME`` (reference ``loss/base.py:17-25``)."""
-    name = cfg.LOSS.NAME
-    if name in ("MSELoss", "JointMSELoss"):
-        use_w = bool(cfg.LOSS.USE_TARGET_WEIGHT)
+    """Heatmap-MSE loss factory from ``cfg.LOSS.HEATMAP_MSE`` (the reference's
+    core function constructs ``JointMSELoss()`` directly and scales by
+    ``LOSS.HEATMAP_MSE.WEIGHT``; ``alignment_mi_function_term6_1.py:60,69``)."""
+    node = cfg.LOSS.HEATMAP_MSE
+    weight = float(node.WEIGHT)
+    divide = bool(getattr(node, "DIVIDED_NUM_JOINTS", True))
 
-        def fn(pred, target, target_weight=None):
-            return joint_mse_loss(pred, target, target_weight, use_target_weight=use_w)
+    def fn(pred, target, target_weight=None):
+        return weight * joint_mse_loss(
+            pred, target, target_weight, divide_num_joints=divide
+        )
 
-        return fn
-    raise KeyError(f"Unknown loss {name!r}")
+    return fn

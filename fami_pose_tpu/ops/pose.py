@@ -39,6 +39,13 @@ def flip_back(output_flipped, matched_parts=COCO_FLIP_PAIRS):
     return output_flipped[:, perm, :, ::-1]
 
 
+def flip_back_nhwc(output_flipped, matched_parts=COCO_FLIP_PAIRS):
+    """NHWC variant of ``flip_back``: (B, H, W, J) heatmaps from mirrored
+    inputs -> un-mirrored with left/right joints swapped."""
+    perm = flip_pair_permutation(output_flipped.shape[-1], matched_parts)
+    return output_flipped[:, :, ::-1, :][..., perm]
+
+
 def half_body_transform(
     joints, joints_vis, num_joints, upper_body_ids=COCO_UPPER_BODY_IDS,
     aspect_ratio=0.75, pixel_std=200.0, rng=None,

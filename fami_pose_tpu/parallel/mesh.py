@@ -1,0 +1,82 @@
+"""Device mesh + sharding rules: the framework's distributed backbone.
+
+The reference has no distributed backend at all — single-process
+``torch.nn.DataParallel`` only (``engine/defaults/trainer.py:57-58``; SURVEY
+§2.6). The TPU-native replacement is this module: a ``jax.sharding.Mesh``
+over all chips (ICI) with a primary ``data`` axis, batch arrays sharded on
+it, parameters/optimizer state replicated. All collectives (gradient psum,
+cross-chip batch-norm reductions) are emitted by XLA from these sharding
+annotations inside the jitted train step — there is no hand-written NCCL/MPI
+analog, by design.
+
+For multi-host (multi-slice) runs, call ``maybe_initialize_distributed()``
+first; ``build_mesh`` then spans all processes' devices and DCN-crossing
+collectives are laid out by XLA automatically.
+
+A ``model`` axis is reserved in the mesh for tensor-parallel extensions; at
+~64M params FAMI-Pose needs none, so its size defaults to 1 (SURVEY §2.6).
+"""
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def maybe_initialize_distributed(cfg=None) -> None:
+    """Multi-process (multi-slice) init; no-op when single-process."""
+    try:
+        if jax.process_count() > 1:
+            return  # already initialized
+    except RuntimeError:
+        pass
+    import os
+
+    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
+
+
+def build_mesh(
+    devices: Optional[Sequence] = None,
+    mesh_shape: Optional[Sequence[int]] = None,
+    axis_names: Sequence[str] = (DATA_AXIS, MODEL_AXIS),
+) -> Mesh:
+    """Construct the mesh. ``mesh_shape`` entries of -1 absorb all remaining
+    devices (like ``cfg.TPU.MESH_SHAPE = [-1]``)."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if mesh_shape is None:
+        mesh_shape = [-1] + [1] * (len(axis_names) - 1)
+    shape = list(int(s) for s in mesh_shape)
+    if len(shape) < len(axis_names):
+        shape = shape + [1] * (len(axis_names) - len(shape))
+    if -1 in shape:
+        known = int(np.prod([s for s in shape if s != -1]))
+        shape[shape.index(-1)] = n // known
+    if int(np.prod(shape)) != n:
+        raise ValueError(f"mesh shape {shape} does not cover {n} devices")
+    dev_array = np.asarray(devices).reshape(shape)
+    return Mesh(dev_array, tuple(axis_names[: dev_array.ndim]))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading-axis (batch) sharding over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicate(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Place a pytree of host arrays with the batch axis sharded on ``data``."""
+    sh = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def pad_to_multiple(n: int, k: int) -> int:
+    return ((n + k - 1) // k) * k

@@ -1,0 +1,119 @@
+"""Synthetic PoseTrack-style dataset fixture: tiny videos + COCO json."""
+
+import json
+import os
+import os.path as osp
+
+import cv2
+import numpy as np
+
+IMG_W, IMG_H = 128, 96
+
+
+def _person(rng, cx, cy):
+    """17 COCO keypoints around a center, all visible."""
+    base = np.array([cx, cy], np.float32)
+    offs = rng.uniform(-18, 18, size=(17, 2)).astype(np.float32)
+    pts = base + offs
+    pts[:, 0] = np.clip(pts[:, 0], 2, IMG_W - 3)
+    pts[:, 1] = np.clip(pts[:, 1], 2, IMG_H - 3)
+    return pts
+
+
+def make_posetrack_fixture(
+    root, n_videos=2, n_frames=5, people_per_frame=2, posetrack18=False, seed=0
+):
+    """Write images + a COCO-style json; returns (json_path, img_dir).
+
+    PT18 naming: 6-digit frames starting at 0; PT17: 8-digit starting at 1.
+    """
+    rng = np.random.RandomState(seed)
+    img_dir = osp.join(root, "images")
+    zero_fill = 6 if posetrack18 else 8
+    start = 0 if posetrack18 else 1
+
+    images, annotations = [], []
+    img_id, ann_id = 0, 0
+    for v in range(n_videos):
+        vid_name = f"video_{v:04d}"
+        vdir = osp.join(img_dir, vid_name)
+        os.makedirs(vdir, exist_ok=True)
+        centers = rng.uniform([30, 30], [IMG_W - 30, IMG_H - 30],
+                              size=(people_per_frame, 2))
+        for f in range(n_frames):
+            frame_idx = start + f
+            fname = f"{str(frame_idx).zfill(zero_fill)}.jpg"
+            img = rng.randint(0, 255, (IMG_H, IMG_W, 3), np.uint8)
+            cv2.imwrite(osp.join(vdir, fname), img)
+            img_id += 1
+            images.append(
+                {
+                    "id": img_id,
+                    "file_name": f"{vid_name}/{fname}",
+                    "width": IMG_W,
+                    "height": IMG_H,
+                    "nframes": n_frames,
+                    "frame_id": frame_idx,
+                    "vid_id": vid_name,
+                    "is_labeled": True,
+                }
+            )
+            for p in range(people_per_frame):
+                pts = _person(rng, *centers[p])
+                kps = []
+                for x, y in pts:
+                    kps += [float(x), float(y), 1]
+                x0, y0 = pts.min(0) - 4
+                x1, y1 = pts.max(0) + 4
+                ann_id += 1
+                annotations.append(
+                    {
+                        "id": ann_id,
+                        "image_id": img_id,
+                        "category_id": 1,
+                        "bbox": [float(x0), float(y0), float(x1 - x0), float(y1 - y0)],
+                        "area": float((x1 - x0) * (y1 - y0)),
+                        "iscrowd": 0,
+                        "keypoints": kps,
+                        "track_id": p,
+                        "bbox_head": [float(x0), float(y0), 20.0, 20.0],
+                        "scores": [],
+                    }
+                )
+
+    dataset = {
+        "images": images,
+        "annotations": annotations,
+        "categories": [{"id": 1, "name": "person"}],
+    }
+    os.makedirs(osp.join(root, "json"), exist_ok=True)
+    json_path = osp.join(root, "json", "posetrack_train.json")
+    with open(json_path, "w") as fh:
+        json.dump(dataset, fh)
+    # same content serves as the val index
+    val_path = osp.join(root, "json", "posetrack_val.json")
+    with open(val_path, "w") as fh:
+        json.dump(dataset, fh)
+    return json_path, img_dir
+
+
+def make_cfg(json_dir, img_dir, posetrack18=False, distance=3):
+    from fami_pose_tpu.config import get_default_cfg
+
+    cfg = get_default_cfg()
+    cfg.DISTANCE = distance
+    cfg.MODEL.NUM_JOINTS = 17
+    cfg.MODEL.IMAGE_SIZE = [96, 128]  # (w, h): divisible by 32 at 1/4
+    cfg.MODEL.HEATMAP_SIZE = [24, 32]
+    cfg.MODEL.SIGMA = 2
+    cfg.DATASET.NAME = "PoseTrack"
+    cfg.DATASET.JSON_DIR = json_dir
+    cfg.DATASET.IMG_DIR = img_dir
+    cfg.DATASET.TEST_IMG_DIR = img_dir
+    cfg.DATASET.IS_POSETRACK18 = posetrack18
+    cfg.DATASET.COLOR_RGB = True
+    cfg.DATASET.BBOX_ENLARGE_FACTOR = 1.25
+    cfg.TRAIN.PROB_HALF_BODY = 0.0
+    cfg.VAL.USE_GT_BBOX = True
+    cfg.WORKERS = 1
+    return cfg

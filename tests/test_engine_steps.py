@@ -1,0 +1,148 @@
+"""Train/eval step tests: loss decreases, sharding works on an 8-dev mesh,
+single-chip and multi-chip results agree."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fami_pose_tpu.config import get_default_cfg
+from fami_pose_tpu.engine.steps import (
+    heatmap_pck_accuracy,
+    make_eval_step,
+    make_train_step,
+)
+from fami_pose_tpu.engine.train_state import create_train_state
+from fami_pose_tpu.models.fami_pose import FAMIPose
+from fami_pose_tpu.models.hrnet import TINY_EXTRA
+from fami_pose_tpu.optim import build_optimizer, build_lr_schedule
+from fami_pose_tpu.parallel.mesh import build_mesh, shard_batch
+
+
+def _make_model():
+    return FAMIPose(
+        extra=TINY_EXTRA, num_joints=17, feat_channels=8, dcn_offset_groups=4
+    )
+
+
+def _make_batch(rng, b=2, h=64, w=64, n_sup=4):
+    return {
+        "kf": rng.rand(b, h, w, 3).astype(np.float32),
+        "sup": rng.rand(b, h, w, 3 * n_sup).astype(np.float32),
+        "target": rng.rand(b, h // 4, w // 4, 17).astype(np.float32) * 0.1,
+        "target_weight": np.ones((b, 17), np.float32),
+    }
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = _make_model()
+    cfg = get_default_cfg()
+    tx = build_optimizer(cfg, steps_per_epoch=100)
+    state = create_train_state(
+        model, tx, jax.random.PRNGKey(0),
+        (jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 64, 64, 12))),
+    )
+    return model, cfg, tx, state
+
+
+def test_train_step_decreases_loss(setup, rng):
+    model, cfg, tx, state = setup
+    step_fn = make_train_step(model, donate=False)
+    batch = jax.tree.map(jnp.asarray, _make_batch(rng))
+    losses = []
+    for _ in range(5):
+        state, metrics = step_fn(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(l) for l in losses)
+    assert losses[-1] < losses[0]
+    assert int(state.step) == 5
+    # metrics contract
+    for k in ("loss_mse", "loss_sup_mse", "loss_mi", "acc", "acc_kf_backbone",
+              "acc_sup1", "acc_sup4", "loss_mi_6"):
+        assert k in metrics
+
+
+def test_train_step_sharded_matches_single(setup, rng):
+    """Same batch through the 8-device mesh and single device: same loss."""
+    model, cfg, tx, state = setup
+    batch = _make_batch(rng, b=8)
+    jb = jax.tree.map(jnp.asarray, batch)
+
+    single = make_train_step(model, donate=False)
+    _, m_single = single(state, jb)
+
+    mesh = build_mesh(jax.devices()[:8], mesh_shape=[8, 1])
+    with mesh:
+        sharded_step = make_train_step(model, mesh=mesh, donate=False)
+        sb = shard_batch(batch, mesh)
+        _, m_sharded = sharded_step(state, sb)
+
+    np.testing.assert_allclose(
+        float(m_single["loss"]), float(m_sharded["loss"]), rtol=1e-4
+    )
+
+
+def test_eval_step_and_flip_test(setup, rng):
+    model, cfg, tx, state = setup
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    batch = _make_batch(rng)
+    kf, sup = jnp.asarray(batch["kf"]), jnp.asarray(batch["sup"])
+
+    plain = make_eval_step(model)
+    hm, kf_bb = plain(variables, kf, sup)
+    assert hm.shape == (2, 16, 16, 17) and hm.dtype == jnp.float32
+
+    fliptest = make_eval_step(model, flip_test=True)
+    hm2, _ = fliptest(variables, kf, sup)
+    assert hm2.shape == hm.shape
+    assert np.isfinite(np.asarray(hm2)).all()
+
+
+def test_pck_accuracy_perfect_and_shifted():
+    b, h, w, j = 1, 32, 32, 3
+    target = np.zeros((b, h, w, j), np.float32)
+    for ji, (y, x) in enumerate([(5, 6), (10, 20), (25, 12)]):
+        target[0, y, x, ji] = 1.0
+    acc, cnt = heatmap_pck_accuracy(jnp.asarray(target), jnp.asarray(target))
+    assert float(acc) == 1.0 and int(cnt) == 3
+
+    # move one joint far away -> 2/3 correct
+    pred = target.copy()
+    pred[0, 25, 12, 2] = 0
+    pred[0, 2, 2, 2] = 1.0
+    acc, cnt = heatmap_pck_accuracy(jnp.asarray(pred), jnp.asarray(target))
+    np.testing.assert_allclose(float(acc), 2.0 / 3.0, rtol=1e-6)
+
+
+def test_lr_schedule_multistep():
+    cfg = get_default_cfg()
+    cfg.TRAIN.LR = 1e-3
+    cfg.TRAIN.LR_FACTOR = 0.1
+    cfg.TRAIN.LR_STEP = [10, 15]
+    sched = build_lr_schedule(cfg, steps_per_epoch=2)
+    np.testing.assert_allclose(float(sched(0)), 1e-3)
+    np.testing.assert_allclose(float(sched(19)), 1e-3)
+    np.testing.assert_allclose(float(sched(20)), 1e-4, rtol=1e-5)
+    np.testing.assert_allclose(float(sched(30)), 1e-5, rtol=1e-5)
+
+
+def test_second_param_group():
+    cfg = get_default_cfg()
+    cfg.TRAIN.LR_SECOND_GROUP = ["head"]
+    cfg.TRAIN.LR_SECOND_GROUP_VALUE = 1e-6
+    tx = build_optimizer(cfg, steps_per_epoch=1)
+    params = {
+        "head": {"kernel": jnp.ones((3, 3))},
+        "body": {"kernel": jnp.ones((3, 3))},
+    }
+    opt_state = tx.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, opt_state, params)
+    # adam normalizes, so |update| == lr for constant grads
+    up_head = float(jnp.abs(updates["head"]["kernel"]).max())
+    up_body = float(jnp.abs(updates["body"]["kernel"]).max())
+    assert up_head < up_body
+    np.testing.assert_allclose(up_body, 1e-3, rtol=1e-3)
+    np.testing.assert_allclose(up_head, 1e-6, rtol=1e-3)
