@@ -28,6 +28,7 @@ Dropped warts: the hardcoded ``clustering`` debug path with absolute
 """
 
 import logging
+import os
 import os.path as osp
 from collections import defaultdict
 from typing import Dict, List, Optional, Tuple
@@ -313,3 +314,100 @@ class PoseTrackDataset(VideoDataset):
             "image_path": image_path,
             "sup_paths": sup_paths,
         }
+
+    # -- evaluation ----------------------------------------------------------
+
+    def evaluate(self, cfg, preds, output_dir, boxes, img_path_map, **kwargs):
+        """Official PoseTrack AP via the poseval-equivalent protocol.
+
+        Mirrors ``PoseTrack_Alignment.evaluate`` (``:883-1037``): regroup the
+        flat prediction array by video, write per-video annolist JSONs named
+        after the GT files (empty frames get the dummy detection), run the
+        AP evaluation against ``annotation_dir``, and return the grouped
+        (Head..Ankle, Mean) OrderedDict.
+
+        Args:
+          preds: (N, 17, 3) array — x, y, maxval in original image coords.
+          boxes: (N, 6) array — center(2), scale(2), area, score.
+          img_path_map: OrderedDict image path -> list of pred indices.
+        """
+        import json
+        from collections import OrderedDict
+
+        from fami_pose_tpu.evaluation import (
+            convert_data_to_annorect_struct,
+        )
+        from fami_pose_tpu.evaluation.evaluate import evaluate as run_eval
+        from fami_pose_tpu.evaluation.poseval_data import video2filenames
+
+        os.makedirs(output_dir, exist_ok=True)
+        annot_dir = self.annotation_dir
+        out_fnames, vid_len = video2filenames(annot_dir)
+
+        zero_fill = 6 if self.is_posetrack18 else 8
+        start = 0 if self.is_posetrack18 else 1
+
+        # group predictions by video / frame number
+        by_video: Dict[str, Dict[int, Tuple[str, list, list]]] = {}
+        for key, idx_list in img_path_map.items():
+            parts = key.split("/")
+            video = "/".join(parts[-3:-1])
+            img_sfx = "/".join(parts[-3:])
+            frame_num = int(parts[-1].replace(".jpg", ""))
+            poses, box_list = [], []
+            for idx in idx_list:
+                pose = np.zeros((4, 17))
+                pose[0] = preds[idx, :, 0]
+                pose[1] = preds[idx, :, 1]
+                pose[2] = preds[idx, :, 2]
+                pose[3] = preds[idx, :, 2]
+                poses.append(pose)
+                box = np.zeros((1, 6))
+                box[0] = boxes[idx]
+                box_list.append(box)
+            by_video.setdefault(video, {})[frame_num] = (img_sfx, poses, box_list)
+
+        for video, frames in by_video.items():
+            n = vid_len.get("images/" + video) or vid_len.get(video)
+            if n is None:
+                n = max(frames.keys()) - start + 1
+            annolist = []
+            for frame_num in range(start, start + n):
+                if frame_num in frames:
+                    img_sfx, poses, box_list = frames[frame_num]
+                    tracks = list(range(len(poses)))
+                else:
+                    img_sfx = "/".join(
+                        [video, str(frame_num).zfill(zero_fill) + ".jpg"]
+                    )
+                    poses, box_list, tracks = [], [], []
+                annolist.append(
+                    {
+                        "image": {"name": img_sfx},
+                        "imgnum": [frame_num],
+                        "annorect": convert_data_to_annorect_struct(
+                            poses, tracks, box_list
+                        ),
+                    }
+                )
+            fname = out_fnames.get("images/" + video) or out_fnames.get(
+                video, video.split("/")[-1] + ".json"
+            )
+            with open(osp.join(output_dir, fname), "w") as f:
+                json.dump({"annolist": annolist}, f)
+
+        result = run_eval(annot_dir, output_dir, eval_pose=True, eval_track=False)
+        table = result["ap_table"]
+        name_value = OrderedDict(
+            [
+                ("Head", table["Head"]),
+                ("Shoulder", table["Shou"]),
+                ("Elbow", table["Elb"]),
+                ("Wrist", table["Wri"]),
+                ("Hip", table["Hip"]),
+                ("Knee", table["Knee"]),
+                ("Ankle", table["Ankl"]),
+                ("Mean", table["Mean"]),
+            ]
+        )
+        return name_value, name_value["Mean"]
