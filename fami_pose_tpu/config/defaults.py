@@ -58,6 +58,10 @@ def get_default_cfg() -> CfgNode:
             "PREFETCH_DEPTH": 2,
             "DONATE_TRAIN_STATE": True,
             "USE_PALLAS_DCN": True,
+            # bounded-offset window for the gather-free deformable conv;
+            # None/0 selects the exact (slow) gather path
+            "DCN_MAX_OFFSET": 6,
+            "DCN_OFFSET_GROUPS": 12,
             "REMAT_BACKBONE": False,
         }
     )

@@ -1,0 +1,144 @@
+"""Evaluator: checkpoint sweep + eval loop + protocol scoring.
+
+TPU re-design of ``engine/defaults/evaluator.py:24-111`` and the eval half of
+the core function (``alignment_mi_function_term6_1.py:222-328``): enumerate
+checkpoints (explicit MODEL_FILE, latest, or all >= an id), run the jitted
+eval step over the loader, decode heatmaps sub-pixel on device, map back to
+image coordinates through the inverse affine, accumulate the flat prediction
+arrays, and hand them to ``dataset.evaluate`` (the poseval AP protocol).
+Scores both the final aligned heatmaps and the backbone-only heatmaps, like
+the reference's built-in A/B ablation (``PredsAccPrinter``, ``:323-327``).
+"""
+
+import logging
+import os.path as osp
+import time
+from collections import OrderedDict
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import fami_pose_tpu.data  # noqa: F401  (dataset registration)
+from fami_pose_tpu.data.loader import build_eval_loader, prepare_eval_inputs
+from fami_pose_tpu.engine import checkpoints
+from fami_pose_tpu.engine.steps import make_eval_step
+from fami_pose_tpu.models import build_model
+from fami_pose_tpu.ops.heatmap import get_final_preds
+from fami_pose_tpu.parallel.mesh import build_mesh
+from fami_pose_tpu.utils.registry import DATASET_REGISTRY, VAL_PHASE
+
+
+class Evaluator:
+    def __init__(self, cfg, phase: str = VAL_PHASE, output_dirs=None,
+                 dataset=None):
+        self.cfg = cfg
+        self.phase = phase
+        self.logger = logging.getLogger(__name__)
+        dirs = output_dirs or {}
+        self.checkpoints_dir = dirs.get(
+            "checkpoints", osp.join(cfg.OUTPUT_DIR or ".", "checkpoints")
+        )
+        self.output_dir = dirs.get("results", cfg.OUTPUT_DIR or ".")
+
+        if dataset is None:
+            ds_cls = DATASET_REGISTRY.get(cfg.DATASET.NAME)
+            dataset = ds_cls(cfg, phase)
+        self.dataset = dataset
+        self.mesh = build_mesh(mesh_shape=list(cfg.TPU.MESH_SHAPE))
+        n_data = int(self.mesh.shape["data"])
+        self.loader = build_eval_loader(
+            cfg, dataset, phase=phase, num_devices=n_data
+        )
+        self.model = build_model(cfg, phase)
+        sub = cfg.VAL if phase == VAL_PHASE else cfg.TEST
+        flip_key = "FLIP_VAL" if phase == VAL_PHASE else "FLIP_TEST"
+        flip_test = bool(getattr(sub, flip_key, False) or sub.FLIP)
+        self.eval_step = make_eval_step(
+            self.model, flip_test=flip_test,
+            flip_pairs=getattr(dataset, "flip_pairs", None),
+        )
+
+        h, w = int(cfg.MODEL.IMAGE_SIZE[1]), int(cfg.MODEL.IMAGE_SIZE[0])
+        n_sup = 2 * (int(cfg.DISTANCE) - 1)
+        self._example = (
+            jnp.zeros((1, h, w, 3), jnp.float32),
+            jnp.zeros((1, h, w, 3 * n_sup), jnp.float32),
+        )
+
+    def list_model_files(self) -> List[str]:
+        sub = self.cfg.VAL if self.phase == VAL_PHASE else self.cfg.TEST
+        if sub.MODEL_FILE:
+            return [sub.MODEL_FILE]
+        latest = checkpoints.get_latest_checkpoint(self.checkpoints_dir)
+        return [latest] if latest else []
+
+    def load_variables(self, path: str) -> dict:
+        template = jax.eval_shape(
+            lambda: self.model.init(
+                jax.random.PRNGKey(0), *self._example, train=False
+            )
+        )
+        template = jax.tree.map(
+            lambda s: np.zeros(s.shape, s.dtype), template
+        )
+        return checkpoints.load_variables(path, template)
+
+    def eval_checkpoint(self, variables: dict):
+        """Run the full eval loop; returns (name_value_final, name_value_bb)."""
+        cfg = self.cfg
+        n = len(self.dataset)
+        num_joints = int(cfg.MODEL.NUM_JOINTS)
+        all_preds = np.zeros((n, num_joints, 3), np.float32)
+        all_preds_bb = np.zeros((n, num_joints, 3), np.float32)
+        all_boxes = np.zeros((n, 6), np.float32)
+        img_path_map = OrderedDict()
+        idx = 0
+
+        t0 = time.time()
+        for raw in self.loader:
+            valid = int(raw.get("valid", raw["kf"].shape[0]))
+            kf, sup = prepare_eval_inputs(raw["kf"], raw["sup"])
+            final_hm, bb_hm = self.eval_step(variables, kf, sup)
+            center = raw["center"][:valid]
+            scale = raw["scale"][:valid]
+
+            # NHWC -> (B, J, h, w) for the decode op
+            fh = jnp.transpose(final_hm[:valid], (0, 3, 1, 2))
+            bh = jnp.transpose(bb_hm[:valid], (0, 3, 1, 2))
+            preds, maxvals = get_final_preds(fh, center, scale)
+            preds_bb, maxvals_bb = get_final_preds(bh, center, scale)
+
+            all_preds[idx : idx + valid, :, :2] = np.asarray(preds)
+            all_preds[idx : idx + valid, :, 2:3] = np.asarray(maxvals)
+            all_preds_bb[idx : idx + valid, :, :2] = np.asarray(preds_bb)
+            all_preds_bb[idx : idx + valid, :, 2:3] = np.asarray(maxvals_bb)
+            all_boxes[idx : idx + valid, 0:2] = center
+            all_boxes[idx : idx + valid, 2:4] = scale
+            all_boxes[idx : idx + valid, 4] = np.prod(scale * 200, axis=1)
+            all_boxes[idx : idx + valid, 5] = raw["score"][:valid]
+            for b in range(valid):
+                img_path_map.setdefault(raw["image_path"][b], []).append(idx + b)
+            idx += valid
+        self.logger.info(
+            f"eval forward done: {idx} samples in {time.time() - t0:.1f}s"
+        )
+
+        results = {}
+        for tag, preds in (("final", all_preds), ("backbone", all_preds_bb)):
+            out_dir = osp.join(self.output_dir, f"{self.phase}_{tag}_json")
+            name_value, mean = self.dataset.evaluate(
+                cfg, preds, out_dir, all_boxes, img_path_map
+            )
+            self.logger.info(f"[{tag}] AP: {dict(name_value)}")
+            results[tag] = (name_value, mean)
+        return results
+
+    def eval(self):
+        out = {}
+        for path in self.list_model_files():
+            self.logger.info(f"evaluating {path}")
+            variables = self.load_variables(path)
+            out[path] = self.eval_checkpoint(variables)
+        return out

@@ -35,7 +35,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from fami_pose_tpu.ops.deform_conv import deform_conv2d
+from fami_pose_tpu.ops.deform_conv import deform_conv2d, deform_conv2d_windowed
 from fami_pose_tpu.ops.warp import warp_translate
 from fami_pose_tpu.utils.registry import MODEL_REGISTRY, TRAIN_PHASE
 
@@ -57,6 +57,9 @@ class DeformConv(nn.Module):
     padding: int = DCN_DILATION
     dilation: int = DCN_DILATION
     offset_groups: int = DCN_OFFSET_GROUPS
+    # bounded-offset TPU fast path (ops.deform_conv.deform_conv2d_windowed);
+    # None selects the exact gather-based implementation
+    max_offset: Any = 6
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -69,12 +72,23 @@ class DeformConv(nn.Module):
             jnp.float32,
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
-        return deform_conv2d(
+        args = (
             x.astype(self.dtype),
             offset.astype(self.dtype),
             mask.astype(self.dtype) if mask is not None else None,
             kernel.astype(self.dtype),
             bias.astype(self.dtype),
+        )
+        if self.max_offset is not None:
+            return deform_conv2d_windowed(
+                *args,
+                padding=self.padding,
+                dilation=self.dilation,
+                offset_groups=self.offset_groups,
+                max_offset=int(self.max_offset),
+            )
+        return deform_conv2d(
+            *args,
             stride=1,
             padding=self.padding,
             dilation=self.dilation,
@@ -117,6 +131,7 @@ class FAMIPose(nn.Module):
     dtype: Any = jnp.float32
     feat_channels: int = 48
     dcn_offset_groups: int = DCN_OFFSET_GROUPS
+    dcn_max_offset: Any = 6
 
     @classmethod
     def from_config(cls, cfg, phase: str = TRAIN_PHASE, **kwargs):
@@ -134,11 +149,19 @@ class FAMIPose(nn.Module):
 
             extra = dict(W48_EXTRA)
         stage2 = extra["STAGE2"]["NUM_CHANNELS"][0]
+        max_off = cfg.TPU.DCN_MAX_OFFSET if hasattr(cfg.TPU, "DCN_MAX_OFFSET") else 6
+        groups = (
+            int(cfg.TPU.DCN_OFFSET_GROUPS)
+            if hasattr(cfg.TPU, "DCN_OFFSET_GROUPS")
+            else DCN_OFFSET_GROUPS
+        )
         return cls(
             extra=extra,
             num_joints=int(cfg.MODEL.NUM_JOINTS),
             dtype=dtype,
             feat_channels=int(stage2),
+            dcn_offset_groups=groups,
+            dcn_max_offset=max_off,
         )
 
     @staticmethod
@@ -206,7 +229,8 @@ class FAMIPose(nn.Module):
                 dtype=self.dtype, name=f"dcn_mask_{idx}",
             )(feat_in, train)
             return DeformConv(
-                c, offset_groups=self.dcn_offset_groups, dtype=self.dtype,
+                c, offset_groups=self.dcn_offset_groups,
+                max_offset=self.dcn_max_offset, dtype=self.dtype,
                 name=f"dcn_{idx}",
             )(target, off, msk)
 

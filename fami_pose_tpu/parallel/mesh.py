@@ -57,9 +57,10 @@ def build_mesh(
     if -1 in shape:
         known = int(np.prod([s for s in shape if s != -1]))
         shape[shape.index(-1)] = n // known
-    if int(np.prod(shape)) != n:
-        raise ValueError(f"mesh shape {shape} does not cover {n} devices")
-    dev_array = np.asarray(devices).reshape(shape)
+    need = int(np.prod(shape))
+    if need > n:
+        raise ValueError(f"mesh shape {shape} needs {need} devices, have {n}")
+    dev_array = np.asarray(devices[:need]).reshape(shape)
     return Mesh(dev_array, tuple(axis_names[: dev_array.ndim]))
 
 
