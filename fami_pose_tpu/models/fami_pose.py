@@ -57,9 +57,11 @@ class DeformConv(nn.Module):
     padding: int = DCN_DILATION
     dilation: int = DCN_DILATION
     offset_groups: int = DCN_OFFSET_GROUPS
-    # bounded-offset TPU fast path (ops.deform_conv.deform_conv2d_windowed);
-    # None selects the exact gather-based implementation
+    # bounded-offset TPU fast path (ops.deform_conv.deform_conv2d_windowed,
+    # or the fused Pallas kernel when use_pallas); None selects the exact
+    # gather-based implementation
     max_offset: Any = 6
+    use_pallas: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -80,13 +82,16 @@ class DeformConv(nn.Module):
             bias.astype(self.dtype),
         )
         if self.max_offset is not None:
-            return deform_conv2d_windowed(
-                *args,
+            from fami_pose_tpu.ops.pallas.dcn import make_deform_conv_fn
+
+            fn = make_deform_conv_fn(
                 padding=self.padding,
                 dilation=self.dilation,
                 offset_groups=self.offset_groups,
                 max_offset=int(self.max_offset),
+                use_pallas=self.use_pallas,
             )
+            return fn(*args)
         return deform_conv2d(
             *args,
             stride=1,
@@ -132,6 +137,7 @@ class FAMIPose(nn.Module):
     feat_channels: int = 48
     dcn_offset_groups: int = DCN_OFFSET_GROUPS
     dcn_max_offset: Any = 6
+    use_pallas_dcn: bool = False
 
     @classmethod
     def from_config(cls, cfg, phase: str = TRAIN_PHASE, **kwargs):
@@ -162,6 +168,7 @@ class FAMIPose(nn.Module):
             feat_channels=int(stage2),
             dcn_offset_groups=groups,
             dcn_max_offset=max_off,
+            use_pallas_dcn=bool(cfg.TPU.USE_PALLAS_DCN),
         )
 
     @staticmethod
@@ -230,7 +237,8 @@ class FAMIPose(nn.Module):
             )(feat_in, train)
             return DeformConv(
                 c, offset_groups=self.dcn_offset_groups,
-                max_offset=self.dcn_max_offset, dtype=self.dtype,
+                max_offset=self.dcn_max_offset,
+                use_pallas=self.use_pallas_dcn, dtype=self.dtype,
                 name=f"dcn_{idx}",
             )(target, off, msk)
 

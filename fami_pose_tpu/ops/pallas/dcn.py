@@ -1,0 +1,243 @@
+"""Fused Pallas TPU kernel for the modulated deformable convolution.
+
+The centerpiece kernel (BASELINE.json: "fused Pallas bilinear-gather +
+modulated-conv kernel"). Same bounded-offset semantics as
+``ops.deform_conv.deform_conv2d_windowed`` — exact bilinear DCNv2 for
+offsets within ``[-D, D]``, clamped beyond — but executed as ONE kernel:
+
+  * the padded input image lives in VMEM for a whole batch element in a
+    flat ``(C, Hp*128)`` layout: each image row is padded to exactly one
+    128-lane tile, so a vertical displacement is a *lane-aligned* dynamic
+    slice (``dy`` rows = ``dy*128`` lanes) and a horizontal displacement is
+    a ``pltpu.roll`` whose wrap-around only ever touches the discarded
+    margin columns;
+  * hat-function bilinear weights and mask modulation run on the VPU over
+    full 128-lane tiles (lanes = flattened spatial, sublanes = channels);
+  * each kernel tap finishes with one MXU matmul ``W_k^T @ col_k`` into an
+    f32 accumulator — nothing round-trips to HBM between the sampling and
+    the convolution.
+
+The XLA ``deform_conv2d_windowed`` (scan-based) computes the identical
+function; it is the correctness reference in tests and provides the backward
+pass (``make_deform_conv_fn`` wires a ``custom_vjp`` that differentiates
+through it — exact, since both compute the same function).
+"""
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANE = 128
+
+
+def _dcn_kernel(
+    x_ref, off_ref, msk_ref, w_ref, o_ref, *, kh, kw, dil, pad,
+    d_max, groups, cg, tr, c_in, c_out, margin,
+):
+    trwp = tr * LANE
+    s_win = 2 * d_max + 2
+    row0 = pl.program_id(1) * tr  # first output row of this block
+
+    acc = jnp.zeros((c_out, trwp), jnp.float32)
+    for a in range(kh):
+        for b in range(kw):
+            t = a * kw + b
+            # offsets laid out [k][dy/dx][g] on the sublane axis
+            ty = off_ref[0, (t * 2 + 0) * groups : (t * 2 + 1) * groups, :]
+            tx = off_ref[0, (t * 2 + 1) * groups : (t * 2 + 2) * groups, :]
+            ty = jnp.clip(ty, -d_max, d_max)
+            tx = jnp.clip(tx, -d_max, d_max)
+            m = msk_ref[0, t * groups : (t + 1) * groups, :]
+
+            def body(dyi, col):
+                dy = dyi - d_max
+                wy = jnp.maximum(0.0, 1.0 - jnp.abs(ty - dy.astype(ty.dtype)))
+                wy = wy * m  # (G, TRWP)
+                # lane-aligned dynamic slice: source rows shifted by
+                # sy = a*dil - pad + dy
+                row_start = (margin + row0 + a * dil - pad + dy) * LANE
+                xrow = x_ref[0, :, pl.ds(row_start, trwp)]
+                inner = jnp.zeros((c_in, trwp), jnp.float32)
+                for dxi in range(s_win):
+                    dx = dxi - d_max
+                    sx = b * dil - pad + dx
+                    # horizontal shift: roll within the block; wrap-around
+                    # only reaches margin columns (|sx| < margin), which the
+                    # caller discards
+                    trwp_total = xrow.shape[1]
+                    xs = pltpu.roll(
+                        xrow, (-sx) % trwp_total, axis=1
+                    ).astype(jnp.float32)
+                    wx = jnp.maximum(0.0, 1.0 - jnp.abs(tx - dx))
+                    w2 = (wy * wx).astype(jnp.float32)  # (G, TRWP)
+                    wfull = pltpu.repeat(w2, cg, axis=0)  # (C, TRWP)
+                    inner = inner + wfull * xs
+                return col + inner
+
+            col = jax.lax.fori_loop(
+                0, s_win, body, jnp.zeros((c_in, trwp), jnp.float32)
+            )
+            acc = acc + jax.lax.dot_general(
+                w_ref[t].astype(jnp.float32), col,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+    o_ref[0] = acc.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("padding", "dilation", "offset_groups", "max_offset",
+                     "row_block", "interpret"),
+)
+def deform_conv2d_pallas(
+    x,
+    offset,
+    mask,
+    weight,
+    bias=None,
+    *,
+    padding=3,
+    dilation=3,
+    offset_groups: int = 12,
+    max_offset: int = 4,
+    row_block: int = 16,
+    interpret: bool = None,
+):
+    """Drop-in fused equivalent of ``deform_conv2d_windowed`` (stride 1)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    n, h, w, c = x.shape
+    kh, kw, wc, c_out = weight.shape
+    k = kh * kw
+    g = offset_groups
+    cg = c // g
+    d_max = int(max_offset)
+    dil = int(dilation)
+    pad = int(padding)
+    margin = d_max + 1 + dil * (kh // 2)  # covers max |shift| = pad + D + 1
+    tr = int(row_block)
+    assert h % tr == 0, (h, tr)
+    assert w + 2 * margin <= LANE, (w, margin)
+
+    # each padded image row occupies exactly one 128-lane tile
+    pad_right = LANE - w - margin
+    hp = h + 2 * margin + 1  # +1 row absorbs the last block's max up-shift
+
+    # pltpu.repeat is a tile-repeat (whole-array concat), so weights expanded
+    # with it map lane-row c to group c % G; permute channels to the matching
+    # group-minor order (c' = cg_idx * G + g). The conv weight rows get the
+    # same permutation, so the contraction is unchanged.
+    perm = np.arange(c).reshape(g, cg).T.reshape(-1)
+    x_pad = jnp.pad(
+        x[..., perm],
+        ((0, 0), (margin, margin + 1), (margin, pad_right), (0, 0)),
+    )
+    x_flat = x_pad.transpose(0, 3, 1, 2).reshape(n, c, hp * LANE)
+
+    # offsets (N,H,W,2GK) with channel order [g][k][dy/dx] -> [k][dy/dx][g]
+    off = offset.reshape(n, h, w, g, k, 2).transpose(0, 4, 5, 3, 1, 2)
+    off = off.reshape(n, 2 * g * k, h, w)
+    off = jnp.pad(off, ((0, 0), (0, 0), (0, 0), (margin, pad_right)))
+    off_flat = off.reshape(n, 2 * g * k, h * LANE).astype(jnp.float32)
+
+    if mask is None:
+        msk = jnp.ones((n, h, w, g, k), x.dtype)
+    else:
+        msk = mask.reshape(n, h, w, g, k)
+    msk = msk.transpose(0, 4, 3, 1, 2).reshape(n, g * k, h, w)
+    msk = jnp.pad(msk, ((0, 0), (0, 0), (0, 0), (margin, pad_right)))
+    msk_flat = msk.reshape(n, g * k, h * LANE).astype(jnp.float32)
+
+    w_k = weight.reshape(k, c, c_out)[:, perm, :]
+
+    kernel = functools.partial(
+        _dcn_kernel, kh=kh, kw=kw, dil=dil, pad=pad, d_max=d_max, groups=g,
+        cg=cg, tr=tr, c_in=c, c_out=c_out, margin=margin,
+    )
+    n_row_blocks = h // tr
+    flops = 2 * n * h * w * (k * c * (2 * d_max + 2) ** 2 + k * c * c_out)
+    out_flat = pl.pallas_call(
+        kernel,
+        grid=(n, n_row_blocks),
+        in_specs=[
+            pl.BlockSpec(
+                (1, c, hp * LANE), lambda b, i: (b, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 2 * g * k, tr * LANE), lambda b, i: (b, 0, i),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, g * k, tr * LANE), lambda b, i: (b, 0, i),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, c_out, tr * LANE), lambda b, i: (b, 0, i),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, c_out, h * LANE), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=x.size * 2 + offset.size * 4,
+            transcendentals=0,
+        ),
+        interpret=bool(interpret),
+    )(x_flat, off_flat, msk_flat, w_k)
+
+    out = out_flat.reshape(n, c_out, h, LANE)[:, :, :, margin : margin + w]
+    out = out.transpose(0, 2, 3, 1)
+    if bias is not None:
+        out = out + bias
+    return out
+
+
+def _best_row_block(h: int, target: int = 16) -> int:
+    for rb in range(min(target, h), 0, -1):
+        if h % rb == 0:
+            return rb
+    return 1
+
+
+def make_deform_conv_fn(
+    *, padding: int, dilation: int, offset_groups: int, max_offset: int,
+    use_pallas: bool,
+):
+    """Factory returning a differentiable DCN: fused Pallas forward with the
+    XLA windowed implementation as the backward (they compute the same
+    function, so the VJP is exact)."""
+    from fami_pose_tpu.ops.deform_conv import deform_conv2d_windowed
+
+    def windowed(x, offset, mask, weight, bias):
+        return deform_conv2d_windowed(
+            x, offset, mask, weight, bias, padding=padding, dilation=dilation,
+            offset_groups=offset_groups, max_offset=max_offset,
+        )
+
+    if not use_pallas:
+        return windowed
+
+    @jax.custom_vjp
+    def fn(x, offset, mask, weight, bias):
+        return deform_conv2d_pallas(
+            x, offset, mask, weight, bias, padding=padding, dilation=dilation,
+            offset_groups=offset_groups, max_offset=max_offset,
+            row_block=_best_row_block(x.shape[1]),
+        )
+
+    def fwd(x, offset, mask, weight, bias):
+        return fn(x, offset, mask, weight, bias), (x, offset, mask, weight, bias)
+
+    def bwd(res, g):
+        _, vjp = jax.vjp(windowed, *res)
+        return vjp(g)
+
+    fn.defvjp(fwd, bwd)
+    return fn
