@@ -134,8 +134,11 @@ def deform_conv2d_pallas(
     # group-minor order (c' = cg_idx * G + g). The conv weight rows get the
     # same permutation, so the contraction is unchanged.
     perm = np.arange(c).reshape(g, cg).T.reshape(-1)
+    # Mosaic (remote-compile) rejects the bf16 roll/slice mix in this
+    # kernel; stage everything f32 — at FAMI-Pose scale the extra VMEM is
+    # ~1 MB and the kernel accumulates in f32 anyway
     x_pad = jnp.pad(
-        x[..., perm],
+        x[..., perm].astype(jnp.float32),
         ((0, 0), (margin, margin + 1), (margin, pad_right), (0, 0)),
     )
     x_flat = x_pad.transpose(0, 3, 1, 2).reshape(n, c, hp * LANE)
@@ -184,7 +187,7 @@ def deform_conv2d_pallas(
             (1, c_out, tr * LANE), lambda b, i: (b, 0, i),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((n, c_out, h * LANE), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((n, c_out, h * LANE), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=x.size * 2 + offset.size * 4,
             transcendentals=0,
@@ -193,7 +196,7 @@ def deform_conv2d_pallas(
     )(x_flat, off_flat, msk_flat, w_k)
 
     out = out_flat.reshape(n, c_out, h, LANE)[:, :, :, margin : margin + w]
-    out = out.transpose(0, 2, 3, 1)
+    out = out.transpose(0, 2, 3, 1).astype(x.dtype)
     if bias is not None:
         out = out + bias
     return out

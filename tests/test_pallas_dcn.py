@@ -1,0 +1,80 @@
+"""Fused Pallas DCN kernel vs the windowed XLA reference (interpret mode on
+CPU; the same comparison runs compiled on real TPU hardware)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fami_pose_tpu.ops.deform_conv import deform_conv2d_windowed
+from fami_pose_tpu.ops.pallas.dcn import deform_conv2d_pallas, make_deform_conv_fn
+
+
+def _inputs(rng, n=2, h=32, w=24, c=8, g=2, d=2, c_out=6):
+    k = 9
+    x = jnp.asarray(rng.randn(n, h, w, c).astype(np.float32))
+    off = jnp.asarray((rng.rand(n, h, w, 2 * g * k) * 2 * d - d).astype(np.float32))
+    msk = jnp.asarray(rng.rand(n, h, w, g * k).astype(np.float32))
+    wgt = jnp.asarray((rng.randn(3, 3, c, c_out) * 0.2).astype(np.float32))
+    bias = jnp.asarray(rng.randn(c_out).astype(np.float32))
+    return x, off, msk, wgt, bias
+
+
+@pytest.mark.parametrize("dilation", [1, 3])
+def test_pallas_matches_windowed(rng, dilation):
+    x, off, msk, wgt, bias = _inputs(rng)
+    ref = deform_conv2d_windowed(
+        x, off, msk, wgt, bias, padding=dilation, dilation=dilation, max_offset=2
+    )
+    got = deform_conv2d_pallas(
+        x, off, msk, wgt, bias, padding=dilation, dilation=dilation,
+        offset_groups=2, max_offset=2, row_block=8,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_pallas_no_mask(rng):
+    x, off, _, wgt, _ = _inputs(rng)
+    ref = deform_conv2d_windowed(
+        x, off, None, wgt, None, padding=3, dilation=3, max_offset=2
+    )
+    got = deform_conv2d_pallas(
+        x, off, None, wgt, None, padding=3, dilation=3,
+        offset_groups=2, max_offset=2, row_block=8,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_factory_custom_vjp_gradients(rng):
+    """Pallas forward + windowed backward must give the windowed grads."""
+    x, off, msk, wgt, bias = _inputs(rng, n=1, h=16, w=16)
+    fn = make_deform_conv_fn(
+        padding=3, dilation=3, offset_groups=2, max_offset=2, use_pallas=True
+    )
+
+    def loss(off):
+        return jnp.sum(fn(x, off, msk, wgt, bias) ** 2)
+
+    def loss_ref(off):
+        return jnp.sum(
+            deform_conv2d_windowed(
+                x, off, msk, wgt, bias, padding=3, dilation=3, max_offset=2
+            )
+            ** 2
+        )
+
+    g = jax.grad(loss)(off)
+    g_ref = jax.grad(loss_ref)(off)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), rtol=1e-3, atol=1e-4)
+
+
+def test_factory_windowed_passthrough(rng):
+    x, off, msk, wgt, bias = _inputs(rng, n=1, h=16, w=16)
+    fn = make_deform_conv_fn(
+        padding=3, dilation=3, offset_groups=2, max_offset=2, use_pallas=False
+    )
+    ref = deform_conv2d_windowed(
+        x, off, msk, wgt, bias, padding=3, dilation=3, max_offset=2
+    )
+    np.testing.assert_allclose(np.asarray(fn(x, off, msk, wgt, bias)), np.asarray(ref))

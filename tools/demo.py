@@ -1,0 +1,163 @@
+#!/usr/bin/env python
+"""End-to-end demo: video frames + person boxes -> keypoints (+ overlays).
+
+Parity target for the reference's ``tools/demo.sh`` batch driver and
+BASELINE.json config 4 ("video -> bbox crops -> clip batches -> keypoints").
+
+    python tools/demo.py --cfg configs/posetrack17/fami_pose.yaml \
+        --frames /path/to/frames_dir --boxes boxes.json \
+        --checkpoint epoch_20_state.ckpt --out demo_out
+
+``--boxes`` is a json list of {"frame": <index-or-filename>, "bbox":
+[x, y, w, h], "score": s}; omit it to use one full-frame box per frame.
+"""
+
+import argparse
+import json
+import logging
+import os
+import os.path as osp
+import sys
+
+import numpy as np
+
+sys.path.insert(0, osp.join(osp.dirname(__file__), ".."))
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--cfg", required=True)
+    p.add_argument("--frames", required=True, help="directory of ordered frames")
+    p.add_argument("--boxes", default="", help="per-frame person boxes json")
+    p.add_argument("--checkpoint", default="", help="model checkpoint")
+    p.add_argument("--out", default="demo_out")
+    p.add_argument("--vis", action="store_true", help="write skeleton overlays")
+    p.add_argument("opts", nargs=argparse.REMAINDER, default=None)
+    return p.parse_args()
+
+
+def main():
+    logging.basicConfig(level=logging.INFO)
+    args = parse_args()
+    args.root_dir = "."
+
+    import cv2
+    import jax
+    import jax.numpy as jnp
+
+    from fami_pose_tpu.config import get_cfg
+    from fami_pose_tpu.data.loader import prepare_eval_inputs
+    from fami_pose_tpu.engine import checkpoints
+    from fami_pose_tpu.engine.steps import make_eval_step
+    from fami_pose_tpu.models import build_model
+    from fami_pose_tpu.ops.heatmap import get_final_preds
+    from fami_pose_tpu.utils.bbox import box2cs
+    from fami_pose_tpu.ops.affine import dark_get_affine_transform
+    import fami_pose_tpu.models  # noqa: F401
+
+    cfg = get_cfg(args)
+    model = build_model(cfg, "inference")
+
+    frames = sorted(
+        f for f in os.listdir(args.frames)
+        if f.lower().endswith((".jpg", ".png", ".jpeg"))
+    )
+    if not frames:
+        raise SystemExit(f"no frames in {args.frames}")
+
+    # boxes: per frame index -> list of (bbox, score)
+    boxes_by_frame = {}
+    if args.boxes:
+        with open(args.boxes) as f:
+            for det in json.load(f):
+                key = det["frame"]
+                idx = key if isinstance(key, int) else frames.index(osp.basename(key))
+                boxes_by_frame.setdefault(idx, []).append(
+                    (det["bbox"], det.get("score", 1.0))
+                )
+    else:
+        probe = cv2.imread(osp.join(args.frames, frames[0]))
+        h0, w0 = probe.shape[:2]
+        for i in range(len(frames)):
+            boxes_by_frame[i] = [([0, 0, w0, h0], 1.0)]
+
+    img_w, img_h = int(cfg.MODEL.IMAGE_SIZE[0]), int(cfg.MODEL.IMAGE_SIZE[1])
+    distance = int(cfg.DISTANCE)
+    span = distance - 1
+    n_sup = 2 * span
+    aspect = img_w / img_h
+
+    # init / load variables
+    kf0 = jnp.zeros((1, img_h, img_w, 3), jnp.float32)
+    sup0 = jnp.zeros((1, img_h, img_w, 3 * n_sup), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), kf0, sup0, train=False)
+    if args.checkpoint:
+        template = jax.tree.map(np.asarray, variables)
+        variables = checkpoints.load_variables(args.checkpoint, template)
+    eval_step = make_eval_step(model)
+
+    cache = {}
+
+    def read_frame(i):
+        i = min(max(i, 0), len(frames) - 1)
+        if i not in cache:
+            img = cv2.imread(osp.join(args.frames, frames[i]))
+            cache[i] = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+        return cache[i]
+
+    os.makedirs(args.out, exist_ok=True)
+    results = []
+    for fi in range(len(frames)):
+        dets = boxes_by_frame.get(fi, [])
+        if not dets:
+            continue
+        sup_ids = [fi - d for d in range(span, 0, -1)] + [
+            fi + d for d in range(1, span + 1)
+        ]
+        for bbox, score in dets:
+            center, scale = box2cs(
+                bbox, aspect, float(cfg.DATASET.BBOX_ENLARGE_FACTOR)
+            )
+            trans = dark_get_affine_transform(center, scale, 0, (img_w, img_h))
+            crop = lambda img: cv2.warpAffine(
+                img, trans, (img_w, img_h), flags=cv2.INTER_LINEAR
+            )
+            kf = crop(read_frame(fi))[None]
+            sup = np.concatenate(
+                [crop(read_frame(s)) for s in sup_ids], axis=-1
+            )[None]
+            kf_n, sup_n = prepare_eval_inputs(kf, sup)
+            final_hm, _ = eval_step(variables, kf_n, sup_n)
+            hm = jnp.transpose(final_hm, (0, 3, 1, 2))
+            preds, maxvals = get_final_preds(
+                hm, np.asarray([center]), np.asarray([scale])
+            )
+            pose = np.concatenate(
+                [np.asarray(preds)[0], np.asarray(maxvals)[0]], axis=1
+            )
+            results.append(
+                {
+                    "frame": frames[fi],
+                    "bbox": list(map(float, bbox)),
+                    "bbox_score": float(score),
+                    "keypoints": pose.tolist(),
+                }
+            )
+            if args.vis:
+                from fami_pose_tpu.visualization import (
+                    draw_skeleton_in_origin_image,
+                )
+
+                draw_skeleton_in_origin_image(
+                    osp.join(args.frames, frames[fi]), pose,
+                    osp.join(args.out, "vis"),
+                )
+
+    out_json = osp.join(args.out, "keypoints.json")
+    with open(out_json, "w") as f:
+        json.dump(results, f)
+    print(f"wrote {len(results)} poses to {out_json}")
+
+
+if __name__ == "__main__":
+    main()
