@@ -21,6 +21,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# persistent compile cache: first-run Mosaic/XLA compiles through the axon
+# relay are slow; cached binaries make repeat runs fast
+_CACHE = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+os.makedirs(_CACHE, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _CACHE)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 BASELINE_CLIPS_PER_SEC = 500.0
 
 
@@ -36,7 +43,12 @@ def main():
     from fami_pose_tpu.models.fami_pose import FAMIPose
     from fami_pose_tpu.models.hrnet import W48_EXTRA
 
-    model = FAMIPose(extra=W48_EXTRA, num_joints=17, dtype=dtype)
+    use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
+    max_off = int(os.environ.get("BENCH_DCN_MAX_OFFSET", "4"))
+    model = FAMIPose(
+        extra=W48_EXTRA, num_joints=17, dtype=dtype,
+        dcn_max_offset=max_off, use_pallas_dcn=use_pallas,
+    )
     h, w, n_sup = 384, 288, 4
     rng = np.random.RandomState(0)
     kf = jnp.asarray(rng.rand(batch, h, w, 3), jnp.float32)

@@ -45,45 +45,66 @@ def _dcn_kernel(
 
     acc = jnp.zeros((c_out, trwp), jnp.float32)
     for a in range(kh):
+        # per-tap offset fields for this kernel row (b = 0..kw-1)
+        tys, txs, ms = [], [], []
         for b in range(kw):
             t = a * kw + b
-            # offsets laid out [k][dy/dx][g] on the sublane axis
-            ty = off_ref[0, (t * 2 + 0) * groups : (t * 2 + 1) * groups, :]
-            tx = off_ref[0, (t * 2 + 1) * groups : (t * 2 + 2) * groups, :]
-            ty = jnp.clip(ty, -d_max, d_max)
-            tx = jnp.clip(tx, -d_max, d_max)
-            m = msk_ref[0, t * groups : (t + 1) * groups, :]
-
-            def body(dyi, col):
-                dy = dyi - d_max
-                wy = jnp.maximum(0.0, 1.0 - jnp.abs(ty - dy.astype(ty.dtype)))
-                wy = wy * m  # (G, TRWP)
-                # lane-aligned dynamic slice: source rows shifted by
-                # sy = a*dil - pad + dy
-                row_start = (margin + row0 + a * dil - pad + dy) * LANE
-                xrow = x_ref[0, :, pl.ds(row_start, trwp)]
-                inner = jnp.zeros((c_in, trwp), jnp.float32)
-                for dxi in range(s_win):
-                    dx = dxi - d_max
-                    sx = b * dil - pad + dx
-                    # horizontal shift: roll within the block; wrap-around
-                    # only reaches margin columns (|sx| < margin), which the
-                    # caller discards
-                    trwp_total = xrow.shape[1]
-                    xs = pltpu.roll(
-                        xrow, (-sx) % trwp_total, axis=1
-                    ).astype(jnp.float32)
-                    wx = jnp.maximum(0.0, 1.0 - jnp.abs(tx - dx))
-                    w2 = (wy * wx).astype(jnp.float32)  # (G, TRWP)
-                    wfull = pltpu.repeat(w2, cg, axis=0)  # (C, TRWP)
-                    inner = inner + wfull * xs
-                return col + inner
-
-            col = jax.lax.fori_loop(
-                0, s_win, body, jnp.zeros((c_in, trwp), jnp.float32)
+            tys.append(
+                jnp.clip(
+                    off_ref[0, (t * 2 + 0) * groups : (t * 2 + 1) * groups, :],
+                    -d_max, d_max,
+                )
             )
+            txs.append(
+                jnp.clip(
+                    off_ref[0, (t * 2 + 1) * groups : (t * 2 + 2) * groups, :],
+                    -d_max, d_max,
+                )
+            )
+            ms.append(msk_ref[0, t * groups : (t + 1) * groups, :])
+
+        def body(dyi, cols):
+            dy = dyi - d_max
+            # one lane-aligned dynamic slice per (kernel row, dy), shared by
+            # the kw taps of this row
+            row_start = (margin + row0 + a * dil - pad + dy) * LANE
+            xrow = x_ref[0, :, pl.ds(row_start, trwp)]
+            # mask-modulated vertical hat weights per tap
+            wys = [
+                jnp.maximum(0.0, 1.0 - jnp.abs(tys[b] - dy.astype(jnp.float32)))
+                * ms[b]
+                for b in range(kw)
+            ]
+            new_cols = list(cols)
+            # distinct horizontal shifts sx = b*dil - pad + dx; each roll is
+            # shared by every tap whose (b, dx) lands on it
+            for sx in range(-pad - d_max, (kw - 1) * dil - pad + d_max + 2):
+                users = [
+                    b for b in range(kw)
+                    if -d_max <= sx - (b * dil - pad) <= d_max + 1
+                ]
+                if not users:
+                    continue
+                xs = pltpu.roll(xrow, (-sx) % trwp, axis=1)
+                # sublane view (Cg, G, TRWP): group-minor channel order makes
+                # the per-group weight a broadcast, no repeat copy needed
+                xs3 = xs.reshape(cg, groups, trwp)
+                for b in users:
+                    dx = sx - (b * dil - pad)
+                    wx = jnp.maximum(0.0, 1.0 - jnp.abs(txs[b] - dx))
+                    w2 = wys[b] * wx  # (G, TRWP)
+                    new_cols[b] = new_cols[b] + xs3 * w2[None]
+            return tuple(new_cols)
+
+        init = tuple(
+            jnp.zeros((cg, groups, trwp), jnp.float32) for _ in range(kw)
+        )
+        cols = jax.lax.fori_loop(0, s_win, body, init)
+        for b in range(kw):
+            t = a * kw + b
             acc = acc + jax.lax.dot_general(
-                w_ref[t].astype(jnp.float32), col,
+                w_ref[t].astype(jnp.float32),
+                cols[b].reshape(c_in, trwp),
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
