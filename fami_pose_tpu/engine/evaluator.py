@@ -25,14 +25,14 @@ from fami_pose_tpu.data.loader import build_eval_loader, prepare_eval_inputs
 from fami_pose_tpu.engine import checkpoints
 from fami_pose_tpu.engine.steps import make_eval_step
 from fami_pose_tpu.models import build_model
-from fami_pose_tpu.ops.heatmap import get_final_preds
+from fami_pose_tpu.ops.heatmap import dark_get_final_preds, get_final_preds
 from fami_pose_tpu.parallel.mesh import build_mesh
 from fami_pose_tpu.utils.registry import DATASET_REGISTRY, VAL_PHASE
 
 
 class Evaluator:
     def __init__(self, cfg, phase: str = VAL_PHASE, output_dirs=None,
-                 dataset=None):
+                 dataset=None, from_checkpoint_id: int = -1):
         self.cfg = cfg
         self.phase = phase
         self.logger = logging.getLogger(__name__)
@@ -41,6 +41,12 @@ class Evaluator:
             "checkpoints", osp.join(cfg.OUTPUT_DIR or ".", "checkpoints")
         )
         self.output_dir = dirs.get("results", cfg.OUTPUT_DIR or ".")
+        self.from_checkpoint_id = int(from_checkpoint_id)
+        sub0 = cfg.VAL if phase == VAL_PHASE else cfg.TEST
+        # POST_PROCESS selects the DARK (blur+log+Taylor) sub-pixel decode
+        self._decode = (
+            dark_get_final_preds if bool(sub0.POST_PROCESS) else get_final_preds
+        )
 
         if dataset is None:
             ds_cls = DATASET_REGISTRY.get(cfg.DATASET.NAME)
@@ -68,9 +74,15 @@ class Evaluator:
         )
 
     def list_model_files(self) -> List[str]:
+        """Explicit MODEL_FILE > all checkpoints >= an id > latest
+        (reference ``evaluator.py:49-62``)."""
         sub = self.cfg.VAL if self.phase == VAL_PHASE else self.cfg.TEST
         if sub.MODEL_FILE:
             return [sub.MODEL_FILE]
+        if self.from_checkpoint_id >= 0:
+            return checkpoints.get_all_checkpoints(
+                self.checkpoints_dir, min_epoch=self.from_checkpoint_id
+            )
         latest = checkpoints.get_latest_checkpoint(self.checkpoints_dir)
         return [latest] if latest else []
 
@@ -107,8 +119,8 @@ class Evaluator:
             # NHWC -> (B, J, h, w) for the decode op
             fh = jnp.transpose(final_hm[:valid], (0, 3, 1, 2))
             bh = jnp.transpose(bb_hm[:valid], (0, 3, 1, 2))
-            preds, maxvals = get_final_preds(fh, center, scale)
-            preds_bb, maxvals_bb = get_final_preds(bh, center, scale)
+            preds, maxvals = self._decode(fh, center, scale)
+            preds_bb, maxvals_bb = self._decode(bh, center, scale)
 
             all_preds[idx : idx + valid, :, :2] = np.asarray(preds)
             all_preds[idx : idx + valid, :, 2:3] = np.asarray(maxvals)

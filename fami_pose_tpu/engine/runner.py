@@ -60,7 +60,11 @@ class Runner:
         if val:
             from fami_pose_tpu.engine.evaluator import Evaluator
 
-            evaluator = Evaluator(self.cfg, VAL_PHASE, output_dirs=self.dirs)
+            from_id = int(getattr(self.args, "val_from_checkpoint", -1) or -1)
+            evaluator = Evaluator(
+                self.cfg, VAL_PHASE, output_dirs=self.dirs,
+                from_checkpoint_id=from_id,
+            )
             results["val"] = evaluator.eval()
         if test:
             from fami_pose_tpu.engine.evaluator import Evaluator
