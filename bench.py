@@ -69,9 +69,11 @@ def main():
         # under-report)
         def body(carry, _):
             out = forward(v, kf_x + carry, sup_x)
+            s = jnp.sum(out)
             # tiny but *data-dependent* carry: prevents XLA from hoisting
-            # the forward out of the loop (a literal *0 would constant-fold)
-            return jnp.sum(out) * jnp.float32(1e-20), jnp.sum(out)
+            # the forward out of the loop (a literal *0 would constant-fold,
+            # and scaling the raw sum can overflow at random init)
+            return jnp.sign(s) * jnp.float32(1e-6), s
         _, sums = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
         return sums
 

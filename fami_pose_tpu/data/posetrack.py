@@ -130,6 +130,9 @@ class PoseTrackDataset(VideoDataset):
         from .coco_json import COCOJson
 
         self.coco = COCOJson(json_path)
+        # 'spatiotemporal_window' (default) or 'single_frame' (sup frames are
+        # key-frame copies; reference _get_single_frame path, :543-632)
+        self.model_input_type = cfg.DATASET.INPUT_TYPE or "spatiotemporal_window"
         self.data = self._list_data()
         self.video_image_index = self._build_video_index(self.data)
         self.show_parameters()
@@ -242,7 +245,12 @@ class PoseTrackDataset(VideoDataset):
         if self.color_rgb:
             key_img = cv2.cvtColor(key_img, cv2.COLOR_BGR2RGB)
 
-        sup_paths = support_frame_paths(image_path, item["nframes"], self.distance)
+        if self.model_input_type == "single_frame":
+            sup_paths = [image_path] * self.num_sup
+        else:
+            sup_paths = support_frame_paths(
+                image_path, item["nframes"], self.distance
+            )
         sup_imgs = []
         for p in sup_paths:
             im = read_image(p)
@@ -396,7 +404,10 @@ class PoseTrackDataset(VideoDataset):
             with open(osp.join(output_dir, fname), "w") as f:
                 json.dump({"annolist": annolist}, f)
 
-        result = run_eval(annot_dir, output_dir, eval_pose=True, eval_track=False)
+        eval_track = bool(kwargs.get("eval_track", False))
+        result = run_eval(
+            annot_dir, output_dir, eval_pose=True, eval_track=eval_track
+        )
         table = result["ap_table"]
         name_value = OrderedDict(
             [

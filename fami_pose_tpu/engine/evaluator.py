@@ -23,7 +23,6 @@ import numpy as np
 import fami_pose_tpu.data  # noqa: F401  (dataset registration)
 from fami_pose_tpu.data.loader import build_eval_loader, prepare_eval_inputs
 from fami_pose_tpu.engine import checkpoints
-from fami_pose_tpu.engine.steps import make_eval_step
 from fami_pose_tpu.models import build_model
 from fami_pose_tpu.ops.heatmap import dark_get_final_preds, get_final_preds
 from fami_pose_tpu.parallel.mesh import build_mesh
@@ -61,7 +60,10 @@ class Evaluator:
         sub = cfg.VAL if phase == VAL_PHASE else cfg.TEST
         flip_key = "FLIP_VAL" if phase == VAL_PHASE else "FLIP_TEST"
         flip_test = bool(getattr(sub, flip_key, False) or sub.FLIP)
-        self.eval_step = make_eval_step(
+        from fami_pose_tpu.engine.core_functions import build_core_function
+
+        self.core_function = build_core_function(cfg)
+        self.eval_step = self.core_function.build_eval_step(
             self.model, flip_test=flip_test,
             flip_pairs=getattr(dataset, "flip_pairs", None),
         )

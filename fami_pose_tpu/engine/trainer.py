@@ -21,7 +21,6 @@ import fami_pose_tpu.data  # noqa: F401  (dataset registration)
 from fami_pose_tpu.data.loader import build_train_loader, prepare_train_batch
 from fami_pose_tpu.engine import checkpoints
 from fami_pose_tpu.engine.metrics_writer import MetricWriter
-from fami_pose_tpu.engine.steps import make_train_step
 from fami_pose_tpu.engine.train_state import create_train_state
 from fami_pose_tpu.losses import fami_total_loss  # noqa: F401  (re-export)
 from fami_pose_tpu.models import build_model
@@ -88,10 +87,11 @@ class Trainer:
                     f"resumed from {latest} at epoch {self.begin_epoch}"
                 )
 
-        mse_w = float(cfg.LOSS.HEATMAP_MSE.WEIGHT)
-        self.train_step = make_train_step(
-            self.model, mesh=self.mesh, mse_weight=mse_w,
-            donate=bool(cfg.TPU.DONATE_TRAIN_STATE),
+        from fami_pose_tpu.engine.core_functions import build_core_function
+
+        self.core_function = build_core_function(cfg)
+        self.train_step = self.core_function.build_train_step(
+            self.model, mesh=self.mesh
         )
         self.global_step = int(self.state.step)
 
