@@ -62,6 +62,8 @@ def get_default_cfg() -> CfgNode:
             # None/0 selects the exact (slow) gather path
             "DCN_MAX_OFFSET": 6,
             "DCN_OFFSET_GROUPS": 12,
+            "PROFILE_DIR": "",
+            "PROFILE_STEPS": 10,
             "REMAT_BACKBONE": False,
         }
     )

@@ -50,25 +50,55 @@ class Runner:
         for d in self.dirs.values():
             os.makedirs(d, exist_ok=True)
 
+    def _phase_log_file(self, phase: str):
+        """Per-phase timestamped log file (reference ``engine/defaults/
+        base.py:18-59``)."""
+        import time as _time
+
+        path = osp.join(
+            self.dirs["log"], f"{phase}-{_time.strftime('%Y%m%d_%H%M%S')}.log"
+        )
+        handler = logging.FileHandler(path)
+        handler.setFormatter(
+            logging.Formatter("%(asctime)s %(name)s %(levelname)s: %(message)s")
+        )
+        root = logging.getLogger()
+        root.addHandler(handler)
+        return handler
+
     def launch(self, train=False, val=False, test=False):
         results = {}
         if train:
             from fami_pose_tpu.engine.trainer import Trainer
 
-            trainer = Trainer(self.cfg, output_dirs=self.dirs)
-            results["train"] = trainer.train()
+            h = self._phase_log_file("train")
+            try:
+                trainer = Trainer(self.cfg, output_dirs=self.dirs)
+                results["train"] = trainer.train()
+            finally:
+                logging.getLogger().removeHandler(h)
         if val:
             from fami_pose_tpu.engine.evaluator import Evaluator
 
             from_id = int(getattr(self.args, "val_from_checkpoint", -1) or -1)
-            evaluator = Evaluator(
-                self.cfg, VAL_PHASE, output_dirs=self.dirs,
-                from_checkpoint_id=from_id,
-            )
-            results["val"] = evaluator.eval()
+            h = self._phase_log_file("validate")
+            try:
+                evaluator = Evaluator(
+                    self.cfg, VAL_PHASE, output_dirs=self.dirs,
+                    from_checkpoint_id=from_id,
+                )
+                results["val"] = evaluator.eval()
+            finally:
+                logging.getLogger().removeHandler(h)
         if test:
             from fami_pose_tpu.engine.evaluator import Evaluator
 
-            evaluator = Evaluator(self.cfg, TEST_PHASE, output_dirs=self.dirs)
-            results["test"] = evaluator.eval()
+            h = self._phase_log_file("test")
+            try:
+                evaluator = Evaluator(
+                    self.cfg, TEST_PHASE, output_dirs=self.dirs
+                )
+                results["test"] = evaluator.eval()
+            finally:
+                logging.getLogger().removeHandler(h)
         return results

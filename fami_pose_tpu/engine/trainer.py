@@ -127,9 +127,18 @@ class Trainer:
         heatmap_size = tuple(int(v) for v in cfg.MODEL.HEATMAP_SIZE)
 
         end = time.time()
-        pending = None  # (step, metrics) fetched one step late
+        from fami_pose_tpu.utils.profiling import trace
+
+        profile_dir = str(getattr(cfg.TPU, "PROFILE_DIR", "") or "")
+        profile_steps = int(getattr(cfg.TPU, "PROFILE_STEPS", 0) or 0)
+        profiler = trace(profile_dir) if (profile_dir and epoch == 0) else None
+        if profiler is not None:
+            profiler.__enter__()
         with self.mesh:
             for it, raw in enumerate(self.loader):
+                if profiler is not None and it == profile_steps:
+                    profiler.__exit__(None, None, None)
+                    profiler = None
                 data_time.update(time.time() - end)
                 batch = prepare_train_batch(
                     raw["kf"], raw["sup"], raw["joints"], raw["joints_vis"],
@@ -157,6 +166,8 @@ class Trainer:
                         f"loss {fetched['loss']:.5f} acc {fetched['acc']:.3f} "
                         f"acc_bb {fetched['acc_kf_backbone']:.3f}"
                     )
+        if profiler is not None:
+            profiler.__exit__(None, None, None)
         return meters
 
     def train(self):

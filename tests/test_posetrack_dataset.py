@@ -157,3 +157,14 @@ def test_build_train_loader(fixture_pt17):
     assert dl.batch_size == 4
     b = next(iter(dl))
     assert b["kf"].shape[0] == 4
+
+
+def test_single_frame_input_type(fixture_pt17):
+    cfg = fixture_pt17.clone() if hasattr(fixture_pt17, "clone") else fixture_pt17
+    cfg.DATASET.INPUT_TYPE = "single_frame"
+    ds = PoseTrackDataset(cfg, "validate")
+    s = ds[0]
+    # sup frames are key-frame copies -> identical channels
+    np.testing.assert_array_equal(s["sup"][..., :3], s["kf"])
+    np.testing.assert_array_equal(s["sup"][..., 3:6], s["kf"])
+    cfg.DATASET.INPUT_TYPE = ""
