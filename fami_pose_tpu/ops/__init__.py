@@ -17,3 +17,4 @@ from .heatmap import (
 from .pose import fliplr_joints, flip_back, half_body_transform
 from .nms import oks_iou, oks_nms, soft_oks_nms, oks_nms_device, box_nms_device
 from .nms import nms as box_nms  # bare `nms` would shadow the submodule name
+from .coords import get_final_preds_coord

@@ -112,3 +112,33 @@ def test_evaluator_dark_decode_flag(tmp_path):
     cfg.VAL.POST_PROCESS = True
     src = open(ev.__file__).read()
     assert "dark_get_final_preds" in src and "POST_PROCESS" in src
+
+
+def test_get_final_preds_coord():
+    from fami_pose_tpu.ops.coords import get_final_preds_coord
+
+    b, j = 2, 5
+    kp = np.zeros((b, j, 3), np.float32)
+    kp[..., 0] = 0.0   # center of the heatmap in normalized coords
+    kp[..., 1] = 0.0
+    kp[..., 2] = 0.7
+    center = np.tile(np.array([[100.0, 80.0]], np.float32), (b, 1))
+    scale = np.tile(np.array([[1.0, 1.0]], np.float32), (b, 1))
+    preds, maxvals = get_final_preds_coord(
+        jnp.asarray(kp), jnp.asarray(center), jnp.asarray(scale), (48, 64)
+    )
+    # the heatmap center maps to the box center
+    np.testing.assert_allclose(np.asarray(preds)[0, 0], [100.0, 80.0], atol=3.0)
+    np.testing.assert_allclose(np.asarray(maxvals), 0.7)
+
+
+def test_named_initializers():
+    import jax
+    from fami_pose_tpu.models.weight_init import get_initializer
+
+    for name in ("kaiming", "xavier", "normal", "uniform", "constant", "lecun"):
+        init = get_initializer(name, value=1.5)
+        w = init(jax.random.PRNGKey(0), (8, 8), jnp.float32)
+        assert w.shape == (8, 8)
+    with pytest.raises(KeyError):
+        get_initializer("bogus")
