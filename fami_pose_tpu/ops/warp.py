@@ -47,22 +47,53 @@ def warp_affine(images, mats, out_hw, inverse_given: bool = False):
     return jax.vmap(one)(images, inv)
 
 
-def warp_translate(images, offsets, out_hw=None):
+def warp_translate(images, offsets, out_hw=None, max_shift: int = 32):
     """Pure-translation warp: dst(x, y) = src(x - tx, y - ty).
 
     Equivalent to ``warp_affine`` with matrix [[1,0,tx],[0,1,ty]] — the only
-    case the global alignment head uses (``Alignment_V15.py:133-135``).
+    case the global alignment head uses (``Alignment_V15.py:133-135``) —
+    but gather-free: the fractional translation decomposes into one
+    per-image integer ``dynamic_slice`` of a zero-padded source plus a
+    4-corner bilinear blend (vmapped over the batch). Translations are
+    clamped to ``±max_shift`` pixels (alignment translations are local; the
+    general ``warp_affine`` keeps unbounded exact semantics).
 
     Args:
       images: (N, H, W, C).
       offsets: (N, 2) translations (tx, ty) in destination pixels.
     """
-    n, h, w, _ = images.shape
-    if out_hw is None:
-        out_hw = (h, w)
-    eye = jnp.broadcast_to(jnp.eye(2, dtype=jnp.float32), (n, 2, 2))
-    mats = jnp.concatenate([eye, offsets[:, :, None].astype(jnp.float32)], axis=-1)
-    return warp_affine(images, mats, out_hw)
+    n, h, w, c = images.shape
+    if out_hw is not None and tuple(out_hw) != (h, w):
+        eye = jnp.broadcast_to(jnp.eye(2, dtype=jnp.float32), (n, 2, 2))
+        mats = jnp.concatenate(
+            [eye, offsets[:, :, None].astype(jnp.float32)], axis=-1
+        )
+        return warp_affine(images, mats, out_hw)
+
+    m = int(max_shift) + 1
+    pad = jnp.pad(images, ((0, 0), (m, m), (m, m), (0, 0)))
+
+    t = jnp.clip(offsets.astype(jnp.float32), -max_shift, max_shift)
+    # dst(x) = src(x - t): slice origin moves by -t
+    t0 = jnp.floor(t)
+    f = t - t0  # in [0, 1)
+
+    def one(img_pad, ti, fi):
+        # integer corner: origin at (m - ty0, m - tx0); the 4 bilinear
+        # corners are the 2x2 neighborhood toward -1 (src coords x - t)
+        ox = (m - ti[0]).astype(jnp.int32)
+        oy = (m - ti[1]).astype(jnp.int32)
+        s11 = jax.lax.dynamic_slice(img_pad, (oy, ox, 0), (h, w, c))
+        s10 = jax.lax.dynamic_slice(img_pad, (oy, ox - 1, 0), (h, w, c))
+        s01 = jax.lax.dynamic_slice(img_pad, (oy - 1, ox, 0), (h, w, c))
+        s00 = jax.lax.dynamic_slice(img_pad, (oy - 1, ox - 1, 0), (h, w, c))
+        fx = fi[0].astype(img_pad.dtype)
+        fy = fi[1].astype(img_pad.dtype)
+        top = s00 * fx + s01 * (1 - fx)
+        bot = s10 * fx + s11 * (1 - fx)
+        return top * fy + bot * (1 - fy)
+
+    return jax.vmap(one)(pad, t0, f)
 
 
 def bilinear_sample(img, sx, sy):

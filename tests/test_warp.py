@@ -1,5 +1,6 @@
 import cv2
 import numpy as np
+import pytest
 
 from fami_pose_tpu.ops import affine as A
 from fami_pose_tpu.ops import warp as W
@@ -64,3 +65,30 @@ def test_warp_gradients_flow():
 
     g = jax.grad(loss)(jnp.array([[0.5, 0.5]]))
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_warp_translate_matches_affine_path(rng):
+    """The gather-free translation warp must equal the general affine warp."""
+    import jax.numpy as jnp
+    from fami_pose_tpu.ops.warp import warp_affine, warp_translate
+
+    n, h, w, c = 3, 24, 20, 6
+    imgs = jnp.asarray(rng.rand(n, h, w, c).astype(np.float32))
+    offs = jnp.asarray((rng.rand(n, 2) * 16 - 8).astype(np.float32))
+    eye = jnp.broadcast_to(jnp.eye(2, dtype=jnp.float32), (n, 2, 2))
+    mats = jnp.concatenate([eye, offs[:, :, None]], axis=-1)
+    ref = warp_affine(imgs, mats, (h, w))
+    got = warp_translate(imgs, offs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_warp_translate_integer_shift(rng):
+    import jax.numpy as jnp
+    from fami_pose_tpu.ops.warp import warp_translate
+
+    img = np.zeros((1, 8, 8, 1), np.float32)
+    img[0, 2, 3, 0] = 1.0
+    out = np.asarray(warp_translate(jnp.asarray(img), jnp.asarray([[2.0, 1.0]])))
+    # dst(x, y) = src(x-2, y-1): the peak moves from (3,2) to (5,3)
+    assert out[0, 3, 5, 0] == pytest.approx(1.0)
+    assert out.sum() == pytest.approx(1.0)
