@@ -247,6 +247,13 @@ class PoseTrackDataset(VideoDataset):
 
         if self.model_input_type == "single_frame":
             sup_paths = [image_path] * self.num_sup
+        elif self.model_input_type == "single_ref_frame":
+            # one randomly-sampled aux frame (train) / nearest next (eval);
+            # reference _get_single_ref path (:128-291, RANDOM_AUX_FRAME)
+            sup_paths = [
+                self._sample_ref_path(image_path, item["nframes"])
+                for _ in range(max(1, self.num_sup))
+            ]
         else:
             sup_paths = support_frame_paths(
                 image_path, item["nframes"], self.distance
@@ -322,6 +329,24 @@ class PoseTrackDataset(VideoDataset):
             "image_path": image_path,
             "sup_paths": sup_paths,
         }
+
+    def _sample_ref_path(self, image_path: str, nframes: int) -> str:
+        base = osp.basename(image_path)
+        stem = base.replace(".jpg", "")
+        zero_fill = len(stem)
+        is_pt18 = zero_fill == 6
+        cur = int(stem)
+        lo = 0 if is_pt18 else 1
+        hi = nframes - 1 if is_pt18 else nframes
+        if self.is_train and bool(self.cfg.DATASET.RANDOM_AUX_FRAME):
+            delta = int(np.random.randint(1, max(2, self.distance)))
+            sign = 1 if np.random.rand() < 0.5 else -1
+            tgt = int(np.clip(cur + sign * delta, lo, hi))
+        else:
+            tgt = min(cur + 1, hi)
+        return osp.join(
+            osp.dirname(image_path), str(tgt).zfill(zero_fill) + ".jpg"
+        )
 
     # -- evaluation ----------------------------------------------------------
 

@@ -117,6 +117,31 @@ class Trainer:
             f"({len(unmapped)} unmapped keys)"
         )
 
+    @staticmethod
+    def _tables(meters) -> str:
+        """Loss + accuracy tables at PRINT_FREQ (reference
+        ``alignment_mi_function_term6_1.py:184-207`` surface)."""
+        loss_keys = [k for k in meters if k.startswith("loss")]
+        acc_keys = [k for k in meters if k.startswith("acc")]
+
+        def row(keys):
+            return [f"{meters[k].val:.5f} ({meters[k].avg:.5f})" for k in keys]
+
+        try:
+            from tabulate import tabulate
+
+            out = "=> Loss Table:\n" + tabulate(
+                [row(loss_keys)], headers=loss_keys, tablefmt="pipe"
+            )
+            out += "\n=> Acc Table:\n" + tabulate(
+                [row(acc_keys)], headers=acc_keys, tablefmt="pipe"
+            )
+            return out
+        except ImportError:
+            return " ".join(
+                f"{k}={meters[k].val:.5f}" for k in loss_keys + acc_keys
+            )
+
     def train_epoch(self, epoch: int):
         cfg = self.cfg
         meters = {}
@@ -159,13 +184,13 @@ class Trainer:
                             f"train_{k}", v, self.global_step
                         )
                     samples = raw["kf"].shape[0] / max(batch_time.val, 1e-9)
-                    self.logger.info(
+                    msg = (
                         f"Epoch [{epoch}][{it}/{self.steps_per_epoch}] "
                         f"time {batch_time.val:.3f}s data {data_time.val:.3f}s "
-                        f"speed {samples:.1f} samples/s "
-                        f"loss {fetched['loss']:.5f} acc {fetched['acc']:.3f} "
-                        f"acc_bb {fetched['acc_kf_backbone']:.3f}"
+                        f"speed {samples:.1f} samples/s"
                     )
+                    msg += "\n" + self._tables(meters)
+                    self.logger.info(msg)
         if profiler is not None:
             profiler.__exit__(None, None, None)
         return meters

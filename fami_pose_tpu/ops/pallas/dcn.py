@@ -111,10 +111,98 @@ def _dcn_kernel(
     o_ref[0] = acc.astype(o_ref.dtype)
 
 
+def _dcn_kernel_v3(
+    x_ref, off_ref, msk_ref, w_ref, o_ref, *, kh, kw, dil, pad,
+    d_max, groups, cg, tr, c_in, c_out, margin,
+):
+    """x-dimension via true 128-lane gather (2 corners), y via hat window.
+
+    Mosaic's dynamic gather works on (rows, 128) tiles only, so the kernel
+    processes one padded image row (= one lane tile) at a time inside the
+    vertical window loop: per (tap-row a, dy, image row r) one lane-aligned
+    slice, then per tap-col b two gathers + a bilinear blend — 2 terms on
+    the x axis instead of 2D+2.
+    """
+    s_win = 2 * d_max + 2
+    row0 = pl.program_id(1) * tr
+    trwp = tr * LANE
+
+    acc = jnp.zeros((c_out, trwp), jnp.float32)
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (c_in, LANE), 1)
+
+    for a in range(kh):
+        row_pieces = [[None] * tr for _ in range(kw)]
+        for r in range(tr):
+            # per-(tap, row) horizontal gather indices / fracs / wy inputs
+            idx0, fx_r, wy_in = [], [], []
+            for b in range(kw):
+                t = a * kw + b
+                tx = off_ref[
+                    0, (t * 2 + 1) * groups : (t * 2 + 2) * groups,
+                    r * LANE : (r + 1) * LANE,
+                ]
+                tx = jnp.clip(tx, -d_max, d_max)
+                x0 = jnp.floor(tx)
+                fx = (tx - x0).astype(jnp.float32)
+                x0c = pltpu.repeat(x0.astype(jnp.int32), cg, axis=0)
+                idx0.append(
+                    jnp.clip(col_iota + (b * dil - pad) + x0c, 0, LANE - 1)
+                )
+                fx_r.append(pltpu.repeat(fx, cg, axis=0))  # (C, LANE)
+                ty = off_ref[
+                    0, (t * 2 + 0) * groups : (t * 2 + 1) * groups,
+                    r * LANE : (r + 1) * LANE,
+                ]
+                m = msk_ref[
+                    0, t * groups : (t + 1) * groups,
+                    r * LANE : (r + 1) * LANE,
+                ]
+                wy_in.append((jnp.clip(ty, -d_max, d_max), m))
+
+            def body(dyi, cols3):
+                dy = dyi - d_max
+                row_start = (margin + row0 + r + a * dil - pad + dy) * LANE
+                xrow = x_ref[0, :, pl.ds(row_start, LANE)]  # (C, LANE)
+                out = []
+                for b in range(kw):
+                    ty, m = wy_in[b]
+                    wy = jnp.maximum(
+                        0.0, 1.0 - jnp.abs(ty - dy.astype(jnp.float32))
+                    ) * m  # (G, LANE)
+                    g0 = jnp.take_along_axis(xrow, idx0[b], axis=1)
+                    g1 = jnp.take_along_axis(
+                        xrow, jnp.minimum(idx0[b] + 1, LANE - 1), axis=1
+                    )
+                    samp = g0 * (1.0 - fx_r[b]) + g1 * fx_r[b]
+                    # group-minor channels: (C, L) -> (Cg, G, L) makes the
+                    # per-group weight a broadcast (no repeat copy)
+                    out.append(
+                        cols3[b] + samp.reshape(cg, groups, LANE) * wy[None]
+                    )
+                return tuple(out)
+
+            init = tuple(
+                jnp.zeros((cg, groups, LANE), jnp.float32) for _ in range(kw)
+            )
+            cols3 = jax.lax.fori_loop(0, s_win, body, init)
+            for b in range(kw):
+                row_pieces[b][r] = cols3[b].reshape(c_in, LANE)
+
+        for b in range(kw):
+            t = a * kw + b
+            col = jnp.concatenate(row_pieces[b], axis=1)  # (C, TRWP)
+            acc = acc + jax.lax.dot_general(
+                w_ref[t].astype(jnp.float32), col,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+    o_ref[0] = acc.astype(o_ref.dtype)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("padding", "dilation", "offset_groups", "max_offset",
-                     "row_block", "interpret"),
+                     "row_block", "interpret", "kernel_version"),
 )
 def deform_conv2d_pallas(
     x,
@@ -129,6 +217,7 @@ def deform_conv2d_pallas(
     max_offset: int = 4,
     row_block: int = 16,
     interpret: bool = None,
+    kernel_version: int = 3,
 ):
     """Drop-in fused equivalent of ``deform_conv2d_windowed`` (stride 1)."""
     if interpret is None:
@@ -180,8 +269,9 @@ def deform_conv2d_pallas(
 
     w_k = weight.reshape(k, c, c_out)[:, perm, :]
 
+    kfn = _dcn_kernel_v3 if int(kernel_version) == 3 else _dcn_kernel
     kernel = functools.partial(
-        _dcn_kernel, kh=kh, kw=kw, dil=dil, pad=pad, d_max=d_max, groups=g,
+        kfn, kh=kh, kw=kw, dil=dil, pad=pad, d_max=d_max, groups=g,
         cg=cg, tr=tr, c_in=c, c_out=c_out, margin=margin,
     )
     n_row_blocks = h // tr
