@@ -32,7 +32,7 @@ BASELINE_CLIPS_PER_SEC = 500.0
 
 
 def main():
-    batch = int(os.environ.get("BENCH_BATCH", "32"))
+    batch = int(os.environ.get("BENCH_BATCH", "64"))
     iters = int(os.environ.get("BENCH_ITERS", "20"))
     dtype = (
         jnp.float32

@@ -22,7 +22,8 @@ def _inputs(rng, n=2, h=32, w=24, c=8, g=2, d=2, c_out=6):
 
 
 @pytest.mark.parametrize("dilation", [1, 3])
-def test_pallas_matches_windowed(rng, dilation):
+@pytest.mark.parametrize("kernel_version", [2, 3])
+def test_pallas_matches_windowed(rng, dilation, kernel_version):
     x, off, msk, wgt, bias = _inputs(rng)
     ref = deform_conv2d_windowed(
         x, off, msk, wgt, bias, padding=dilation, dilation=dilation, max_offset=2
@@ -30,6 +31,7 @@ def test_pallas_matches_windowed(rng, dilation):
     got = deform_conv2d_pallas(
         x, off, msk, wgt, bias, padding=dilation, dilation=dilation,
         offset_groups=2, max_offset=2, row_block=8,
+        kernel_version=kernel_version,
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4)
 

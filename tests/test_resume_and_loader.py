@@ -1,0 +1,97 @@
+"""Failure-recovery tests: checkpoint resume continuity + loader error
+propagation (SURVEY §5 aux subsystems)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fami_pose_tpu.config import get_default_cfg
+from fami_pose_tpu.engine import checkpoints
+from fami_pose_tpu.engine.train_state import create_train_state
+from fami_pose_tpu.data.loader import DataLoader
+from fami_pose_tpu.models.fami_pose import FAMIPose
+from fami_pose_tpu.models.hrnet import TINY_EXTRA
+from fami_pose_tpu.optim import build_optimizer
+
+
+def _tiny_state():
+    model = FAMIPose(
+        extra=TINY_EXTRA, num_joints=17, feat_channels=8, dcn_offset_groups=4
+    )
+    cfg = get_default_cfg()
+    tx = build_optimizer(cfg, steps_per_epoch=10)
+    state = create_train_state(
+        model, tx, jax.random.PRNGKey(0),
+        (jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 64, 64, 12))),
+    )
+    return state
+
+
+def test_checkpoint_roundtrip_and_resume_epoch(tmp_path):
+    state = _tiny_state()
+    state = state.replace(step=jnp.asarray(123, jnp.int32))
+    path = checkpoints.save_checkpoint(str(tmp_path), epoch=7, state=state)
+    assert path.endswith("epoch_7_state.ckpt")
+
+    fresh = _tiny_state()
+    restored, begin_epoch = checkpoints.resume(path, fresh)
+    assert begin_epoch == 8  # resume returns begin_epoch + 1
+    assert int(restored.step) == 123
+    a = state.params["agg_final_layer"]["kernel"]
+    b = restored.params["agg_final_layer"]["kernel"]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_latest_and_all_checkpoints(tmp_path):
+    state = _tiny_state()
+    for e in (1, 3, 10):
+        checkpoints.save_checkpoint(str(tmp_path), epoch=e, state=state)
+    latest = checkpoints.get_latest_checkpoint(str(tmp_path))
+    assert latest.endswith("epoch_10_state.ckpt")
+    all_ge_3 = checkpoints.get_all_checkpoints(str(tmp_path), min_epoch=3)
+    assert [p.split("epoch_")[1] for p in all_ge_3] == [
+        "3_state.ckpt", "10_state.ckpt",
+    ]
+
+
+def test_load_variables_for_eval(tmp_path):
+    state = _tiny_state()
+    path = checkpoints.save_checkpoint(str(tmp_path), epoch=0, state=state)
+    template = {
+        "params": jax.tree.map(np.asarray, state.params),
+        "batch_stats": jax.tree.map(np.asarray, state.batch_stats),
+    }
+    variables = checkpoints.load_variables(path, template)
+    assert "params" in variables and "batch_stats" in variables
+    np.testing.assert_allclose(
+        np.asarray(variables["params"]["agg_final_layer"]["bias"]),
+        np.asarray(state.params["agg_final_layer"]["bias"]),
+    )
+
+
+class _BrokenDataset:
+    def __len__(self):
+        return 8
+
+    def __getitem__(self, i):
+        if i == 5:
+            raise RuntimeError("boom at index 5")
+        return {
+            "kf": np.zeros((8, 8, 3), np.uint8),
+            "sup": np.zeros((8, 8, 12), np.uint8),
+            "joints": np.zeros((17, 2), np.float32),
+            "joints_vis": np.zeros(17, np.float32),
+            "center": np.zeros(2, np.float32),
+            "scale": np.ones(2, np.float32),
+            "rotation": np.float32(0),
+            "score": np.float32(1),
+            "image_path": f"img{i}.jpg",
+        }
+
+
+def test_loader_propagates_worker_errors():
+    dl = DataLoader(_BrokenDataset(), batch_size=4, shuffle=False)
+    with pytest.raises(RuntimeError, match="boom at index 5"):
+        list(dl)
