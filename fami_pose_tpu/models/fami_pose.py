@@ -138,6 +138,9 @@ class FAMIPose(nn.Module):
     dcn_offset_groups: int = DCN_OFFSET_GROUPS
     dcn_max_offset: Any = 6
     use_pallas_dcn: bool = False
+    # jax.checkpoint each backbone stage module: the (N+1)-frame HRNet
+    # activations dominate training HBM (29.5 GB unrematted at batch 8)
+    remat_backbone: bool = False
 
     @classmethod
     def from_config(cls, cfg, phase: str = TRAIN_PHASE, **kwargs):
@@ -169,6 +172,7 @@ class FAMIPose(nn.Module):
             dcn_offset_groups=groups,
             dcn_max_offset=max_off,
             use_pallas_dcn=bool(cfg.TPU.USE_PALLAS_DCN),
+            remat_backbone=bool(cfg.TPU.REMAT_BACKBONE),
         )
 
     @staticmethod
@@ -191,7 +195,7 @@ class FAMIPose(nn.Module):
         num_sup = sup_x.shape[-1] // 3
         hrnet = HRNet(
             extra=self.extra, num_joints=self.num_joints, dtype=self.dtype,
-            name="hrnet",
+            remat=self.remat_backbone, name="hrnet",
         )
 
         # fold sup frames into the batch: one shared backbone pass

@@ -180,6 +180,10 @@ class HRNet(nn.Module):
     extra: Dict
     num_joints: int = 17
     dtype: Any = jnp.float32
+    # rematerialize each HighResolutionModule in the backward pass
+    # (jax.checkpoint via nn.remat): trades ~30% recompute for dropping the
+    # dominant share of training activation memory
+    remat: bool = False
 
     def _stage_cfg(self, name):
         s = self.extra[name]
@@ -215,11 +219,16 @@ class HRNet(nn.Module):
                 prev_feats, out_feats, dtype=dt, name=f"transition{si + 1}"
             )(xs, train)
             last_stage = sname == stages[-1]
+            mod_cls = (
+                nn.remat(HighResolutionModule, static_argnums=(2,))
+                if self.remat
+                else HighResolutionModule
+            )
             for m in range(n_mod):
                 multi = True
                 if last_stage and m == n_mod - 1 and mode != "multi":
                     multi = False
-                xs = HighResolutionModule(
+                xs = mod_cls(
                     n_br, block, n_blocks, n_chans, out_feats,
                     multi_scale_output=multi, dtype=dt,
                     name=f"{sname.lower()}_module{m}",
