@@ -139,6 +139,9 @@ class Evaluator:
             f"eval forward done: {idx} samples in {time.time() - t0:.1f}s"
         )
 
+        if bool(cfg.DEBUG.VIS_SKELETON) or bool(cfg.DEBUG.VIS_BBOX):
+            self._vis_hook(all_preds, all_boxes, img_path_map)
+
         results = {}
         for tag, preds in (("final", all_preds), ("backbone", all_preds_bb)):
             out_dir = osp.join(self.output_dir, f"{self.phase}_{tag}_json")
@@ -148,6 +151,35 @@ class Evaluator:
             self.logger.info(f"[{tag}] AP: {dict(name_value)}")
             results[tag] = (name_value, mean)
         return results
+
+    def _vis_hook(self, all_preds, all_boxes, img_path_map, limit: int = 50):
+        """Skeleton/bbox overlays for the first predictions
+        (reference ``vis_helper.draw_skeleton_in_origin_image`` +
+        ``alignment_mi_function_term6_1.py:362-375``)."""
+        from fami_pose_tpu.utils.bbox import cs2box
+        from fami_pose_tpu.visualization import draw_skeleton_in_origin_image
+
+        out_dir = osp.join(self.output_dir, f"{self.phase}_vis")
+        n = 0
+        for path, idxs in img_path_map.items():
+            for i in idxs:
+                bbox = None
+                if bool(self.cfg.DEBUG.VIS_BBOX):
+                    bbox = cs2box(
+                        all_boxes[i, 0:2], all_boxes[i, 2:4], pattern="xyxy"
+                    )
+                try:
+                    draw_skeleton_in_origin_image(
+                        path, all_preds[i], out_dir, bbox=bbox
+                    )
+                except IOError:
+                    continue
+                n += 1
+                if n >= limit:
+                    self.logger.info(f"vis overlays -> {out_dir}")
+                    return
+        if n:
+            self.logger.info(f"vis overlays -> {out_dir}")
 
     def eval(self):
         out = {}
