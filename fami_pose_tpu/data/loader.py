@@ -64,6 +64,17 @@ def prepare_eval_inputs(kf_u8, sup_u8):
     return norm(kf_u8), norm(sup_u8)
 
 
+def reverse_transforms(batch_imgs):
+    """Normalized float images -> uint8 RGB (reference
+    ``datasets/transforms/build.py:31-40``)."""
+    x = np.asarray(batch_imgs, np.float32)
+    c = x.shape[-1] // 3
+    mean = np.tile(IMAGENET_MEAN, c)
+    std = np.tile(IMAGENET_STD, c)
+    x = (x * std + mean) * 255.0
+    return np.clip(x, 0, 255).astype(np.uint8)
+
+
 def collate(samples) -> Dict[str, np.ndarray]:
     """Stack host samples into a batch of numpy arrays (+ meta lists)."""
     out = {}

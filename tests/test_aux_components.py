@@ -142,3 +142,32 @@ def test_named_initializers():
         assert w.shape == (8, 8)
     with pytest.raises(KeyError):
         get_initializer("bogus")
+
+
+def test_deform_block_variants(rng):
+    from fami_pose_tpu.models.deform_blocks import (
+        AdaptBlock,
+        AdaptBlockV2,
+        DeformBlock,
+    )
+
+    x = jnp.asarray(rng.rand(1, 8, 8, 6).astype(np.float32))
+    for cls, kw in (
+        (AdaptBlock, {}),
+        (AdaptBlockV2, {"deformable_groups": 2}),
+        (DeformBlock, {}),
+    ):
+        m = cls(features=6, **kw)
+        v = m.init(jax.random.PRNGKey(0), x, train=False)
+        out = m.apply(v, x, train=False)
+        assert out.shape == x.shape
+        assert bool(jnp.isfinite(out).all())
+    # zero affine transform + zero translation == regular grid == plain conv
+    from fami_pose_tpu.models.deform_blocks import _affine_offsets
+
+    t = jnp.zeros((1, 4, 4, 4))
+    tr = jnp.zeros((1, 4, 4, 2))
+    off = _affine_offsets(t, tr)
+    # offset = (0 @ reg) - reg + 0 = -reg: transformed grid collapses to center
+    assert off.shape == (1, 4, 4, 18)
+    np.testing.assert_allclose(np.asarray(off[0, 0, 0, 0]), 1.0)  # -(-1)
