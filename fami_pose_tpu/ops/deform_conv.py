@@ -292,8 +292,12 @@ def deform_conv2d_windowed(
         return cols_acc + term, None
 
     init = jnp.zeros((n, h, w, k, g, cg), x.dtype)
+    # remat the scan body: the backward then recomputes the per-iteration
+    # shifted terms instead of storing s_win stacked (N,H,W,K,G,Cg)
+    # residuals (~0.5 GB at FAMI training scale)
     cols, _ = jax.lax.scan(
-        body, init, jnp.arange(-d_max, d_max + 2, dtype=jnp.int32)
+        jax.checkpoint(body), init,
+        jnp.arange(-d_max, d_max + 2, dtype=jnp.int32),
     )
     col = cols.reshape(n * h * w, k * c)
     wmat = weight.reshape(k * c, c_out)

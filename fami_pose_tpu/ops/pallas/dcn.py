@@ -350,8 +350,21 @@ def make_deform_conv_fn(
         return fn(x, offset, mask, weight, bias), (x, offset, mask, weight, bias)
 
     def bwd(res, g):
-        _, vjp = jax.vjp(windowed, *res)
-        return vjp(g)
+        x, offset, mask, weight, bias = res
+        from fami_pose_tpu.ops.pallas.dcn_bwd import (
+            deform_conv2d_windowed_bwd_pallas,
+        )
+
+        dx, doff, dmsk, dw, db = deform_conv2d_windowed_bwd_pallas(
+            x, offset, mask, weight, g, padding=padding, dilation=dilation,
+            offset_groups=offset_groups, max_offset=max_offset,
+            row_block=_best_row_block(x.shape[1]),
+        )
+        if bias is None:
+            db = None
+        if mask is None:
+            dmsk = None
+        return dx, doff, dmsk, dw, db
 
     fn.defvjp(fwd, bwd)
     return fn

@@ -1,0 +1,307 @@
+"""Fused Pallas backward kernel for the windowed modulated deformable conv.
+
+The training bottleneck: differentiating the scan-based
+``deform_conv2d_windowed`` through ``jax.vjp`` costs ~160 ms per DCN at
+FAMI-Pose scale (~80% of the train step). This kernel computes all five
+gradients in one pass over the same window structure as the forward:
+
+  out(p, co) = sum_k W_k[c, co] * m_k(p, g) * S_k(p, c)
+  S_k(p, c)  = sum_{dy, dx} haty(ty-dy) hatx(tx-dx) x(p + base_k + (dy, dx), c)
+
+  dW_k   = (m * S)_k^T @ gout            (per-tap MXU matmul, grid-accumulated)
+  dbias  = sum_p gout                    (computed in XLA outside)
+  dcol_k = gout @ W_k^T
+  dmask  = sum_cg S * dcol
+  dty    = sum_{d} haty' hatx (sum_cg x_s * dcol) * m     (clip subgradient)
+  dtx    = symmetric
+  dx(q)  = sum_k sum_d [haty hatx m dcol]_k(q - base_k - d)   (shift adjoint)
+
+Layout identical to the forward kernels (flat row-per-128-lane tiles,
+group-minor channels); the dx adjoint reads halo rows of gout/offsets/mask,
+so those are staged with zero row-margins (zero dcol kills any pad-row
+weight contribution).
+
+Verified against ``jax.vjp(deform_conv2d_windowed)`` in tests.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANE = 128
+
+
+def _bwd_kernel(
+    x_ref, off_ref, msk_ref, w_ref, g_ref, dx_ref, doff_ref,
+    dmsk_ref, dw_ref, *, kh, kw, dil, pad, d_max, groups, cg, tr,
+    c_in, c_out, margin,
+):
+    s_win = 2 * d_max + 2
+    row0 = pl.program_id(1) * tr
+    trwp = tr * LANE
+    thw = (tr + 2 * margin) * LANE  # halo extent (rows)
+
+    first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+
+    @pl.when(first)
+    def _():
+        dw_ref[...] = jnp.zeros_like(dw_ref)
+
+    # per-block halo inputs (staged with overlap in XLA)
+    gout_halo = g_ref[0, 0]  # (Co, THW)
+
+    dx_acc = jnp.zeros((c_in, trwp), jnp.float32)
+    for a in range(kh):
+        for b in range(kw):
+            t = a * kw + b
+            sy0 = a * dil - pad
+            sx0 = b * dil - pad
+
+            # dcol for this tap over the halo rows: W_k @ gout_halo
+            dcolh = jax.lax.dot_general(
+                w_ref[t], gout_halo,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (C, THW)
+            # block-row view of dcol (offset M rows into the halo)
+            dcol = dcolh[:, margin * LANE : margin * LANE + trwp]
+            dcol3 = dcol.reshape(cg, groups, trwp)
+
+            # offset/mask fields: halo blocks; the center trwp window is
+            # the block-rows view
+            def halo(ref, row):
+                return ref[0, 0, row * groups : (row + 1) * groups, :]
+
+            def center(arr):
+                return arr[:, margin * LANE : margin * LANE + trwp]
+
+            ty_raw_h = halo(off_ref, t * 2 + 0)
+            tx_raw_h = halo(off_ref, t * 2 + 1)
+            tyh = jnp.clip(ty_raw_h, -d_max, d_max)
+            txh = jnp.clip(tx_raw_h, -d_max, d_max)
+            mh = halo(msk_ref, t)
+            ty = center(tyh)
+            tx = center(txh)
+            ty_raw = center(ty_raw_h)
+            tx_raw = center(tx_raw_h)
+            m = center(mh)
+
+            def body(dyi, carry):
+                s_acc, dmsk_acc, dty_acc, dtx_acc, dxk = carry
+                dy = dyi - d_max
+                dyf = dy.astype(jnp.float32)
+                uy = ty - dyf
+                wy = jnp.maximum(0.0, 1.0 - jnp.abs(uy))  # (G, TRWP)
+                dhaty = -jnp.sign(uy) * (jnp.abs(uy) < 1.0)
+                uyh = tyh - dyf
+                wyh = jnp.maximum(0.0, 1.0 - jnp.abs(uyh))  # (G, THW)
+
+                row_start = (margin + row0 + sy0 + dy) * LANE
+                xrow = x_ref[0, :, pl.ds(row_start, trwp)]  # (C, TRWP)
+
+                for dxi in range(s_win):
+                    dx_ = dxi - d_max
+                    sx = sx0 + dx_
+                    ux = tx - dx_
+                    wx = jnp.maximum(0.0, 1.0 - jnp.abs(ux))
+                    dhatx = -jnp.sign(ux) * (jnp.abs(ux) < 1.0)
+                    w2 = wy * wx  # (G, TRWP)
+
+                    xs = pltpu.roll(xrow, (-sx) % trwp, axis=1)
+                    xs3 = xs.reshape(cg, groups, trwp)
+                    s_term = xs3 * w2[None]
+                    s_acc = s_acc + s_term
+                    # common = sum_cg xs * dcol
+                    common = jnp.sum(xs3 * dcol3, axis=0)  # (G, TRWP)
+                    dmsk_acc = dmsk_acc + w2 * common
+                    dty_acc = dty_acc + dhaty * wx * common * m
+                    dtx_acc = dtx_acc + wy * dhatx * common * m
+
+                    # dx adjoint: contribution lands at q = p + s
+                    uxh = txh - dx_
+                    wxh = jnp.maximum(0.0, 1.0 - jnp.abs(uxh))
+                    w2h = (wyh * wxh * mh)  # (G, THW)
+                    bterm = dcolh.reshape(cg, groups, thw) * w2h[None]
+                    bflat = bterm.reshape(c_in, thw)
+                    # read at q - s: rows shifted by (margin - sy0 - dy),
+                    # columns rolled by +sx
+                    start = (margin - sy0 - dy) * LANE
+                    piece = jax.lax.dynamic_slice(
+                        bflat, (0, start), (c_in, trwp)
+                    )
+                    dxk = dxk + pltpu.roll(piece, sx % trwp, axis=1)
+                return (s_acc, dmsk_acc, dty_acc, dtx_acc, dxk)
+
+            init = (
+                jnp.zeros((cg, groups, trwp), jnp.float32),
+                jnp.zeros((groups, trwp), jnp.float32),
+                jnp.zeros((groups, trwp), jnp.float32),
+                jnp.zeros((groups, trwp), jnp.float32),
+                jnp.zeros((c_in, trwp), jnp.float32),
+            )
+            s_acc, dmsk_acc, dty_acc, dtx_acc, dxk = jax.lax.fori_loop(
+                0, s_win, body, init
+            )
+            dx_acc = dx_acc + dxk
+
+            # masked columns -> dW_k += col @ gout_block^T
+            col = (s_acc * m[None]).reshape(c_in, trwp)
+            gout_blk = gout_halo[:, margin * LANE : margin * LANE + trwp]
+            dw_ref[t] += jax.lax.dot_general(
+                col, gout_blk,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (C, Co)
+
+            # clip subgradient on the raw offsets
+            dty_final = dty_acc * (
+                (ty_raw >= -d_max) & (ty_raw <= d_max)
+            ).astype(jnp.float32)
+            dtx_final = dtx_acc * (
+                (tx_raw >= -d_max) & (tx_raw <= d_max)
+            ).astype(jnp.float32)
+            doff_ref[0, (t * 2 + 0) * groups : (t * 2 + 1) * groups, :] = (
+                dty_final.astype(doff_ref.dtype)
+            )
+            doff_ref[0, (t * 2 + 1) * groups : (t * 2 + 2) * groups, :] = (
+                dtx_final.astype(doff_ref.dtype)
+            )
+            dmsk_ref[0, t * groups : (t + 1) * groups, :] = dmsk_acc.astype(
+                dmsk_ref.dtype
+            )
+    dx_ref[0] = dx_acc.astype(dx_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("padding", "dilation", "offset_groups", "max_offset",
+                     "row_block", "interpret"),
+)
+def deform_conv2d_windowed_bwd_pallas(
+    x, offset, mask, weight, gout, *, padding=3, dilation=3,
+    offset_groups=12, max_offset=4, row_block=16, interpret=None,
+):
+    """Gradients (dx, doffset, dmask, dweight, dbias) of the windowed DCN."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    n, h, w, c = x.shape
+    kh, kw, wc, c_out = weight.shape
+    k = kh * kw
+    g = offset_groups
+    cg = c // g
+    d_max = int(max_offset)
+    dil = int(dilation)
+    pad = int(padding)
+    margin = d_max + 1 + dil * (kh // 2)
+    tr = int(row_block)
+    assert h % tr == 0 and w + 2 * margin <= LANE
+    pad_right = LANE - w - margin
+    hp = h + 2 * margin + 1
+
+    perm = np.arange(c).reshape(g, cg).T.reshape(-1)
+    inv_perm = np.argsort(perm)
+
+    x_pad = jnp.pad(
+        x[..., perm].astype(jnp.float32),
+        ((0, 0), (margin, margin + 1), (margin, pad_right), (0, 0)),
+    )
+    x_flat = x_pad.transpose(0, 3, 1, 2).reshape(n, c, hp * LANE)
+
+    n_rb = h // tr
+    thw_rows = tr + 2 * margin
+
+    def stage_halo(arr, channels):
+        """(N, H, W, ch) -> (N, RB, ch, (tr+2M)*LANE): per-row-block halo
+        copies (overlap duplicated in HBM so kernel blocks tile cleanly)."""
+        a = jnp.pad(
+            arr, ((0, 0), (margin, margin), (margin, pad_right), (0, 0))
+        )
+        flat = a.transpose(0, 3, 1, 2).astype(jnp.float32)  # (N, ch, H+2M, LANE)
+        blocks = [
+            flat[:, :, i * tr : i * tr + thw_rows, :].reshape(
+                n, 1, channels, thw_rows * LANE
+            )
+            for i in range(n_rb)
+        ]
+        return jnp.concatenate(blocks, axis=1)
+
+    off_r = offset.reshape(n, h, w, g, k, 2).transpose(0, 4, 5, 3, 1, 2)
+    off_r = off_r.reshape(n, 2 * g * k, h, w).transpose(0, 2, 3, 1)
+    off_halo = stage_halo(off_r, 2 * g * k)
+
+    if mask is None:
+        msk_r = jnp.ones((n, h, w, g * k), x.dtype)
+    else:
+        msk_r = (
+            mask.reshape(n, h, w, g, k).transpose(0, 4, 3, 1, 2)
+            .reshape(n, g * k, h, w).transpose(0, 2, 3, 1)
+        )
+    msk_halo = stage_halo(msk_r, g * k)
+
+    gout_halo = stage_halo(gout, c_out)
+
+    w_k = weight.reshape(k, c, c_out)[:, perm, :].astype(jnp.float32)
+
+    kernel = functools.partial(
+        _bwd_kernel, kh=kh, kw=kw, dil=dil, pad=pad, d_max=d_max, groups=g,
+        cg=cg, tr=tr, c_in=c, c_out=c_out, margin=margin,
+    )
+    thw = thw_rows * LANE
+    dx_f, doff_f, dmsk_f, dw = pl.pallas_call(
+        kernel,
+        grid=(n, n_rb),
+        in_specs=[
+            pl.BlockSpec((1, c, hp * LANE), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 2 * g * k, thw), lambda b, i: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, g * k, thw), lambda b, i: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c_out, thw), lambda b, i: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, c, tr * LANE), lambda b, i: (b, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2 * g * k, tr * LANE), lambda b, i: (b, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g * k, tr * LANE), lambda b, i: (b, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, c, c_out), lambda b, i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, c, h * LANE), jnp.float32),
+            jax.ShapeDtypeStruct((n, 2 * g * k, h * LANE), jnp.float32),
+            jax.ShapeDtypeStruct((n, g * k, h * LANE), jnp.float32),
+            jax.ShapeDtypeStruct((k, c, c_out), jnp.float32),
+        ],
+        interpret=bool(interpret),
+    )(x_flat, off_halo, msk_halo, w_k, gout_halo)
+
+    # un-stage: flat row tiles -> (N, H, W, ch)
+    def unstage(flat, channels):
+        out = flat.reshape(n, channels, h, LANE)[:, :, :, margin : margin + w]
+        return out.transpose(0, 2, 3, 1)
+
+    dx = unstage(dx_f, c)[..., inv_perm].astype(x.dtype)
+    doff_r = unstage(doff_f, 2 * g * k)  # (N,H,W, [k][dyx][g])
+    doff = (
+        doff_r.reshape(n, h, w, k, 2, g).transpose(0, 1, 2, 5, 3, 4)
+        .reshape(n, h, w, 2 * g * k).astype(offset.dtype)
+    )
+    dmsk_r = unstage(dmsk_f, g * k)  # [k][g]
+    dmsk = (
+        dmsk_r.reshape(n, h, w, k, g).transpose(0, 1, 2, 4, 3)
+        .reshape(n, h, w, g * k).astype(offset.dtype)
+    )
+    dweight = dw[:, inv_perm, :].reshape(kh, kw, c, c_out).astype(weight.dtype)
+    dbias = jnp.sum(gout.astype(jnp.float32), axis=(0, 1, 2)).astype(
+        weight.dtype
+    )
+    return dx, doff, (None if mask is None else dmsk), dweight, dbias

@@ -77,3 +77,31 @@ def test_pck_evaluation_off_by_far(jhmdb_cfg):
     boxes = np.zeros((len(ds), 6), np.float32)
     _, mean = ds.evaluate(jhmdb_cfg, preds, ".", boxes, img_path_map)
     assert mean == pytest.approx(0.0)
+
+
+@pytest.mark.slow
+def test_jhmdb_runner_end_to_end(jhmdb_cfg, tmp_path):
+    """Full engine on the 15-joint path: train 1 epoch -> eval PCK."""
+    from fami_pose_tpu.models.hrnet import TINY_EXTRA
+    from fami_pose_tpu.engine.runner import Runner
+
+    cfg = jhmdb_cfg
+    cfg.MODEL.NAME = "FAMIPose"
+    cfg.MODEL.EXTRA = TINY_EXTRA
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    cfg.TPU.DCN_OFFSET_GROUPS = 4
+    cfg.TPU.DCN_MAX_OFFSET = 2
+    cfg.TPU.MESH_SHAPE = [1, 1]
+    cfg.TRAIN.BATCH_SIZE_PER_GPU = 4
+    cfg.TRAIN.END_EPOCH = 1
+    cfg.VAL.BATCH_SIZE_PER_GPU = 4
+    cfg.OUTPUT_DIR = str(tmp_path / "out")
+    cfg.EXPERIMENT_NAME = "jhmdb_smoke"
+
+    runner = Runner(cfg)
+    results = runner.launch(train=True, val=True)
+    (path, tables), = results["val"].items()
+    for tag in ("final", "backbone"):
+        name_value, mean = tables[tag]
+        assert np.isfinite(mean)
+        assert "Wrist" in name_value

@@ -95,3 +95,30 @@ def test_loader_propagates_worker_errors():
     dl = DataLoader(_BrokenDataset(), batch_size=4, shuffle=False)
     with pytest.raises(RuntimeError, match="boom at index 5"):
         list(dl)
+
+
+def test_evaluator_checkpoint_sweep_listing(tmp_path):
+    """--val_from_checkpoint selects all checkpoints >= the id."""
+    state = _tiny_state()
+    ckpt_dir = tmp_path / "checkpoints"
+    for e in (0, 2, 4):
+        checkpoints.save_checkpoint(str(ckpt_dir), epoch=e, state=state)
+
+    # list_model_files is pure wiring: exercise it without a dataset by
+    # constructing the evaluator lazily
+    from fami_pose_tpu.engine.evaluator import Evaluator
+
+    ev = object.__new__(Evaluator)
+    ev.cfg = get_default_cfg()
+    ev.phase = "validate"
+    ev.checkpoints_dir = str(ckpt_dir)
+    ev.from_checkpoint_id = 2
+    files = Evaluator.list_model_files(ev)
+    assert [f.split("epoch_")[1] for f in files] == ["2_state.ckpt", "4_state.ckpt"]
+
+    ev.from_checkpoint_id = -1
+    files = Evaluator.list_model_files(ev)
+    assert len(files) == 1 and files[0].endswith("epoch_4_state.ckpt")
+
+    ev.cfg.VAL.MODEL_FILE = "/explicit/model.ckpt"
+    assert Evaluator.list_model_files(ev) == ["/explicit/model.ckpt"]
