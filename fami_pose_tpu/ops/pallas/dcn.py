@@ -358,7 +358,9 @@ def make_deform_conv_fn(
         dx, doff, dmsk, dw, db = deform_conv2d_windowed_bwd_pallas(
             x, offset, mask, weight, g, padding=padding, dilation=dilation,
             offset_groups=offset_groups, max_offset=max_offset,
-            row_block=_best_row_block(x.shape[1]),
+            # smaller row block: the backward holds halo copies of
+            # gout/offsets/mask plus the shift-adjoint scratch in VMEM
+            row_block=_best_row_block(x.shape[1], target=8),
         )
         if bias is None:
             db = None

@@ -35,15 +35,14 @@ from jax.experimental.pallas import tpu as pltpu
 LANE = 128
 
 
-def _bwd_kernel(
-    x_ref, off_ref, msk_ref, w_ref, g_ref, dx_ref, doff_ref,
-    dmsk_ref, dw_ref, *, kh, kw, dil, pad, d_max, groups, cg, tr,
-    c_in, c_out, margin,
+def _bwd_fwdside_kernel(
+    x_ref, off_ref, msk_ref, w_ref, g_ref, doff_ref, dmsk_ref, dw_ref,
+    *, kh, kw, dil, pad, d_max, groups, cg, tr, c_in, c_out, margin,
 ):
+    """dW / dmask / doffset: block-rows only (no halos)."""
     s_win = 2 * d_max + 2
     row0 = pl.program_id(1) * tr
     trwp = tr * LANE
-    thw = (tr + 2 * margin) * LANE  # halo extent (rows)
 
     first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
 
@@ -51,57 +50,36 @@ def _bwd_kernel(
     def _():
         dw_ref[...] = jnp.zeros_like(dw_ref)
 
-    # per-block halo inputs (staged with overlap in XLA)
-    gout_halo = g_ref[0, 0]  # (Co, THW)
+    gout_blk = g_ref[0]  # (Co, TRWP)
 
-    dx_acc = jnp.zeros((c_in, trwp), jnp.float32)
     for a in range(kh):
         for b in range(kw):
             t = a * kw + b
             sy0 = a * dil - pad
             sx0 = b * dil - pad
 
-            # dcol for this tap over the halo rows: W_k @ gout_halo
-            dcolh = jax.lax.dot_general(
-                w_ref[t], gout_halo,
+            dcol = jax.lax.dot_general(
+                w_ref[t], gout_blk,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # (C, THW)
-            # block-row view of dcol (offset M rows into the halo)
-            dcol = dcolh[:, margin * LANE : margin * LANE + trwp]
+            )  # (C, TRWP)
             dcol3 = dcol.reshape(cg, groups, trwp)
 
-            # offset/mask fields: halo blocks; the center trwp window is
-            # the block-rows view
-            def halo(ref, row):
-                return ref[0, 0, row * groups : (row + 1) * groups, :]
-
-            def center(arr):
-                return arr[:, margin * LANE : margin * LANE + trwp]
-
-            ty_raw_h = halo(off_ref, t * 2 + 0)
-            tx_raw_h = halo(off_ref, t * 2 + 1)
-            tyh = jnp.clip(ty_raw_h, -d_max, d_max)
-            txh = jnp.clip(tx_raw_h, -d_max, d_max)
-            mh = halo(msk_ref, t)
-            ty = center(tyh)
-            tx = center(txh)
-            ty_raw = center(ty_raw_h)
-            tx_raw = center(tx_raw_h)
-            m = center(mh)
+            ty_raw = off_ref[0, (t * 2 + 0) * groups : (t * 2 + 1) * groups, :]
+            tx_raw = off_ref[0, (t * 2 + 1) * groups : (t * 2 + 2) * groups, :]
+            ty = jnp.clip(ty_raw, -d_max, d_max)
+            tx = jnp.clip(tx_raw, -d_max, d_max)
+            m = msk_ref[0, t * groups : (t + 1) * groups, :]
 
             def body(dyi, carry):
-                s_acc, dmsk_acc, dty_acc, dtx_acc, dxk = carry
+                s_acc, dmsk_acc, dty_acc, dtx_acc = carry
                 dy = dyi - d_max
-                dyf = dy.astype(jnp.float32)
-                uy = ty - dyf
-                wy = jnp.maximum(0.0, 1.0 - jnp.abs(uy))  # (G, TRWP)
+                uy = ty - dy.astype(jnp.float32)
+                wy = jnp.maximum(0.0, 1.0 - jnp.abs(uy))
                 dhaty = -jnp.sign(uy) * (jnp.abs(uy) < 1.0)
-                uyh = tyh - dyf
-                wyh = jnp.maximum(0.0, 1.0 - jnp.abs(uyh))  # (G, THW)
 
                 row_start = (margin + row0 + sy0 + dy) * LANE
-                xrow = x_ref[0, :, pl.ds(row_start, trwp)]  # (C, TRWP)
+                xrow = x_ref[0, :, pl.ds(row_start, trwp)]
 
                 for dxi in range(s_win):
                     dx_ = dxi - d_max
@@ -109,55 +87,33 @@ def _bwd_kernel(
                     ux = tx - dx_
                     wx = jnp.maximum(0.0, 1.0 - jnp.abs(ux))
                     dhatx = -jnp.sign(ux) * (jnp.abs(ux) < 1.0)
-                    w2 = wy * wx  # (G, TRWP)
-
+                    w2 = wy * wx
                     xs = pltpu.roll(xrow, (-sx) % trwp, axis=1)
                     xs3 = xs.reshape(cg, groups, trwp)
-                    s_term = xs3 * w2[None]
-                    s_acc = s_acc + s_term
-                    # common = sum_cg xs * dcol
-                    common = jnp.sum(xs3 * dcol3, axis=0)  # (G, TRWP)
+                    s_acc = s_acc + xs3 * w2[None]
+                    common = jnp.sum(xs3 * dcol3, axis=0)
                     dmsk_acc = dmsk_acc + w2 * common
                     dty_acc = dty_acc + dhaty * wx * common * m
                     dtx_acc = dtx_acc + wy * dhatx * common * m
-
-                    # dx adjoint: contribution lands at q = p + s
-                    uxh = txh - dx_
-                    wxh = jnp.maximum(0.0, 1.0 - jnp.abs(uxh))
-                    w2h = (wyh * wxh * mh)  # (G, THW)
-                    bterm = dcolh.reshape(cg, groups, thw) * w2h[None]
-                    bflat = bterm.reshape(c_in, thw)
-                    # read at q - s: rows shifted by (margin - sy0 - dy),
-                    # columns rolled by +sx
-                    start = (margin - sy0 - dy) * LANE
-                    piece = jax.lax.dynamic_slice(
-                        bflat, (0, start), (c_in, trwp)
-                    )
-                    dxk = dxk + pltpu.roll(piece, sx % trwp, axis=1)
-                return (s_acc, dmsk_acc, dty_acc, dtx_acc, dxk)
+                return (s_acc, dmsk_acc, dty_acc, dtx_acc)
 
             init = (
                 jnp.zeros((cg, groups, trwp), jnp.float32),
                 jnp.zeros((groups, trwp), jnp.float32),
                 jnp.zeros((groups, trwp), jnp.float32),
                 jnp.zeros((groups, trwp), jnp.float32),
-                jnp.zeros((c_in, trwp), jnp.float32),
             )
-            s_acc, dmsk_acc, dty_acc, dtx_acc, dxk = jax.lax.fori_loop(
+            s_acc, dmsk_acc, dty_acc, dtx_acc = jax.lax.fori_loop(
                 0, s_win, body, init
             )
-            dx_acc = dx_acc + dxk
 
-            # masked columns -> dW_k += col @ gout_block^T
             col = (s_acc * m[None]).reshape(c_in, trwp)
-            gout_blk = gout_halo[:, margin * LANE : margin * LANE + trwp]
             dw_ref[t] += jax.lax.dot_general(
                 col, gout_blk,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # (C, Co)
+            )
 
-            # clip subgradient on the raw offsets
             dty_final = dty_acc * (
                 (ty_raw >= -d_max) & (ty_raw <= d_max)
             ).astype(jnp.float32)
@@ -172,6 +128,60 @@ def _bwd_kernel(
             )
             dmsk_ref[0, t * groups : (t + 1) * groups, :] = dmsk_acc.astype(
                 dmsk_ref.dtype
+            )
+
+
+def _bwd_dx_kernel(
+    off_ref, msk_ref, w_ref, g_ref, dx_ref, bscratch_ref,
+    *, kh, kw, dil, pad, d_max, groups, cg, tr, c_in, c_out, margin,
+):
+    """dx shift-adjoint: needs halo rows of gout/offsets/mask, not x."""
+    s_win = 2 * d_max + 2
+    trwp = tr * LANE
+    thw = (tr + 2 * margin) * LANE
+
+    gout_halo = g_ref[0, 0]  # (Co, THW)
+    dx_acc = jnp.zeros((c_in, trwp), jnp.float32)
+    for a in range(kh):
+        for b in range(kw):
+            t = a * kw + b
+            sy0 = a * dil - pad
+            sx0 = b * dil - pad
+
+            dcolh = jax.lax.dot_general(
+                w_ref[t], gout_halo,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (C, THW)
+            tyh = jnp.clip(
+                off_ref[0, 0, (t * 2 + 0) * groups : (t * 2 + 1) * groups, :],
+                -d_max, d_max,
+            )
+            txh = jnp.clip(
+                off_ref[0, 0, (t * 2 + 1) * groups : (t * 2 + 2) * groups, :],
+                -d_max, d_max,
+            )
+            mh = msk_ref[0, 0, t * groups : (t + 1) * groups, :]
+
+            def body(dyi, dxk):
+                dy = dyi - d_max
+                wyh = jnp.maximum(
+                    0.0, 1.0 - jnp.abs(tyh - dy.astype(jnp.float32))
+                ) * mh  # (G, THW)
+                for dxi in range(s_win):
+                    dx_ = dxi - d_max
+                    sx = sx0 + dx_
+                    wxh = jnp.maximum(0.0, 1.0 - jnp.abs(txh - dx_))
+                    w2h = wyh * wxh
+                    bterm = dcolh.reshape(cg, groups, thw) * w2h[None]
+                    bscratch_ref[...] = bterm.reshape(c_in, thw)
+                    start = (margin - sy0 - dy) * LANE
+                    piece = bscratch_ref[:, pl.ds(start, trwp)]
+                    dxk = dxk + pltpu.roll(piece, sx % trwp, axis=1)
+                return dxk
+
+            dx_acc = dx_acc + jax.lax.fori_loop(
+                0, s_win, body, jnp.zeros((c_in, trwp), jnp.float32)
             )
     dx_ref[0] = dx_acc.astype(dx_ref.dtype)
 
@@ -246,28 +256,40 @@ def deform_conv2d_windowed_bwd_pallas(
 
     w_k = weight.reshape(k, c, c_out)[:, perm, :].astype(jnp.float32)
 
-    kernel = functools.partial(
-        _bwd_kernel, kh=kh, kw=kw, dil=dil, pad=pad, d_max=d_max, groups=g,
-        cg=cg, tr=tr, c_in=c, c_out=c_out, margin=margin,
+    common = dict(
+        kh=kh, kw=kw, dil=dil, pad=pad, d_max=d_max, groups=g, cg=cg, tr=tr,
+        c_in=c, c_out=c_out, margin=margin,
     )
+    kernel_fwdside = functools.partial(_bwd_fwdside_kernel, **common)
+    kernel_dx = functools.partial(_bwd_dx_kernel, **common)
+
+    # non-halo (block-rows) stagings for the fwd-side kernel
+    def stage_blocks(arr, channels):
+        a = jnp.pad(arr, ((0, 0), (0, 0), (margin, pad_right), (0, 0)))
+        return (
+            a.transpose(0, 3, 1, 2).reshape(n, channels, h * LANE)
+            .astype(jnp.float32)
+        )
+
+    off_blk = stage_blocks(off_r, 2 * g * k)
+    msk_blk = stage_blocks(msk_r, g * k)
+    gout_blk = stage_blocks(gout, c_out)
     thw = thw_rows * LANE
-    dx_f, doff_f, dmsk_f, dw = pl.pallas_call(
-        kernel,
+    doff_f, dmsk_f, dw = pl.pallas_call(
+        kernel_fwdside,
         grid=(n, n_rb),
         in_specs=[
             pl.BlockSpec((1, c, hp * LANE), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 2 * g * k, thw), lambda b, i: (b, i, 0, 0),
+            pl.BlockSpec((1, 2 * g * k, tr * LANE), lambda b, i: (b, 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, g * k, thw), lambda b, i: (b, i, 0, 0),
+            pl.BlockSpec((1, g * k, tr * LANE), lambda b, i: (b, 0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, c_out, thw), lambda b, i: (b, i, 0, 0),
+            pl.BlockSpec((1, c_out, tr * LANE), lambda b, i: (b, 0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, c, tr * LANE), lambda b, i: (b, 0, i),
-                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 2 * g * k, tr * LANE), lambda b, i: (b, 0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, g * k, tr * LANE), lambda b, i: (b, 0, i),
@@ -276,13 +298,31 @@ def deform_conv2d_windowed_bwd_pallas(
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n, c, h * LANE), jnp.float32),
             jax.ShapeDtypeStruct((n, 2 * g * k, h * LANE), jnp.float32),
             jax.ShapeDtypeStruct((n, g * k, h * LANE), jnp.float32),
             jax.ShapeDtypeStruct((k, c, c_out), jnp.float32),
         ],
         interpret=bool(interpret),
-    )(x_flat, off_halo, msk_halo, w_k, gout_halo)
+    )(x_flat, off_blk, msk_blk, w_k, gout_blk)
+
+    dx_f = pl.pallas_call(
+        kernel_dx,
+        grid=(n, n_rb),
+        in_specs=[
+            pl.BlockSpec((1, 1, 2 * g * k, thw), lambda b, i: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, g * k, thw), lambda b, i: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c_out, thw), lambda b, i: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, c, tr * LANE), lambda b, i: (b, 0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, c, h * LANE), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((c, thw), jnp.float32)],
+        interpret=bool(interpret),
+    )(off_halo, msk_halo, w_k, gout_halo)
 
     # un-stage: flat row tiles -> (N, H, W, ch)
     def unstage(flat, channels):
