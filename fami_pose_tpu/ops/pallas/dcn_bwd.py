@@ -135,7 +135,13 @@ def _bwd_dx_kernel(
     off_ref, msk_ref, w_ref, g_ref, dx_ref, bscratch_ref,
     *, kh, kw, dil, pad, d_max, groups, cg, tr, c_in, c_out, margin,
 ):
-    """dx shift-adjoint: needs halo rows of gout/offsets/mask, not x."""
+    """dx shift-adjoint: needs halo rows of gout/offsets/mask, not x.
+
+    dx(q) = sum_{k, d} [wy wx m dcol]_k(q - s), s = base_k + d. The row part
+    of the shift is a (dy-dependent) lane-aligned slice of per-tap-staged
+    dcol and of the offset/mask REFS; the sub-tile column part is one roll
+    of the final product — no per-term scratch round-trips.
+    """
     s_win = 2 * d_max + 2
     trwp = tr * LANE
     thw = (tr + 2 * margin) * LANE
@@ -148,36 +154,41 @@ def _bwd_dx_kernel(
             sy0 = a * dil - pad
             sx0 = b * dil - pad
 
-            dcolh = jax.lax.dot_general(
+            # stage dcol for this tap ONCE (the only scratch write)
+            bscratch_ref[...] = jax.lax.dot_general(
                 w_ref[t], gout_halo,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # (C, THW)
-            tyh = jnp.clip(
-                off_ref[0, 0, (t * 2 + 0) * groups : (t * 2 + 1) * groups, :],
-                -d_max, d_max,
-            )
-            txh = jnp.clip(
-                off_ref[0, 0, (t * 2 + 1) * groups : (t * 2 + 2) * groups, :],
-                -d_max, d_max,
-            )
-            mh = msk_ref[0, 0, t * groups : (t + 1) * groups, :]
 
             def body(dyi, dxk):
                 dy = dyi - d_max
-                wyh = jnp.maximum(
-                    0.0, 1.0 - jnp.abs(tyh - dy.astype(jnp.float32))
-                ) * mh  # (G, THW)
+                start = (margin - sy0 - dy) * LANE
+                dcol_p = bscratch_ref[:, pl.ds(start, trwp)]
+                dcol_p3 = dcol_p.reshape(cg, groups, trwp)
+                ty_p = off_ref[
+                    0, 0, (t * 2 + 0) * groups : (t * 2 + 1) * groups,
+                    pl.ds(start, trwp),
+                ]
+                tx_p = off_ref[
+                    0, 0, (t * 2 + 1) * groups : (t * 2 + 2) * groups,
+                    pl.ds(start, trwp),
+                ]
+                m_p = msk_ref[
+                    0, 0, t * groups : (t + 1) * groups, pl.ds(start, trwp)
+                ]
+                ty_p = jnp.clip(ty_p, -d_max, d_max)
+                tx_p = jnp.clip(tx_p, -d_max, d_max)
+                wy_p = jnp.maximum(
+                    0.0, 1.0 - jnp.abs(ty_p - dy.astype(jnp.float32))
+                ) * m_p  # (G, TRWP)
                 for dxi in range(s_win):
                     dx_ = dxi - d_max
                     sx = sx0 + dx_
-                    wxh = jnp.maximum(0.0, 1.0 - jnp.abs(txh - dx_))
-                    w2h = wyh * wxh
-                    bterm = dcolh.reshape(cg, groups, thw) * w2h[None]
-                    bscratch_ref[...] = bterm.reshape(c_in, thw)
-                    start = (margin - sy0 - dy) * LANE
-                    piece = bscratch_ref[:, pl.ds(start, trwp)]
-                    dxk = dxk + pltpu.roll(piece, sx % trwp, axis=1)
+                    wx_p = jnp.maximum(0.0, 1.0 - jnp.abs(tx_p - dx_))
+                    w2 = wy_p * wx_p
+                    prod = (dcol_p3 * w2[None]).reshape(c_in, trwp)
+                    dxk = dxk + pltpu.roll(prod, sx % trwp, axis=1)
                 return dxk
 
             dx_acc = dx_acc + jax.lax.fori_loop(
