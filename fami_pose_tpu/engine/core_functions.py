@@ -35,6 +35,8 @@ class AlignmentMIFunction(BaseCoreFunction):
             model,
             mesh=mesh,
             mse_weight=float(self.cfg.LOSS.HEATMAP_MSE.WEIGHT),
+            mi_alpha=float(getattr(self.cfg.LOSS, "MI_ALPHA", 0.5)),
+            mi_beta=float(getattr(self.cfg.LOSS, "MI_BETA", 0.1)),
             donate=bool(self.cfg.TPU.DONATE_TRAIN_STATE),
         )
 

@@ -62,6 +62,8 @@ def make_train_step(
     model,
     mesh=None,
     mse_weight: float = 1.0,
+    mi_alpha: float = 0.5,
+    mi_beta: float = 0.1,
     donate: bool = True,
 ):
     """Build the jitted training step.
@@ -83,7 +85,7 @@ def make_train_step(
             total, aux = fami_total_loss(
                 final, sup_hms, mi,
                 batch["target"], batch["target_weight"],
-                mse_weight=mse_weight,
+                mse_weight=mse_weight, mi_alpha=mi_alpha, mi_beta=mi_beta,
             )
             return total, (aux, mut["batch_stats"], final, kf_bb, sup_hms)
 

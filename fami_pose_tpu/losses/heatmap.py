@@ -58,16 +58,19 @@ def fami_total_loss(
     target,
     target_weight,
     mse_weight: float = 1.0,
+    mi_alpha: float = MI_ALPHA,
+    mi_beta: float = MI_BETA,
 ) -> Tuple[jnp.ndarray, Dict]:
     """Full FAMI-Pose training loss; returns (total, per-term dict)."""
     loss_mse = joint_mse_loss(final_hm, target, target_weight) * mse_weight
     loss_sup = 0.0
     for hm in sup_hms:
         loss_sup = loss_sup + joint_mse_loss(hm, target, target_weight) * mse_weight
+    coeffs = (-mi_beta, mi_beta, 1.0, -1.0, 1.0, -1.0)
     loss_mi = 0.0
-    for coeff, mi in zip(MI_COEFFS, mi_list):
+    for coeff, mi in zip(coeffs, mi_list):
         loss_mi = loss_mi + coeff * mi
-    loss_mi = MI_ALPHA * loss_mi
+    loss_mi = mi_alpha * loss_mi
     total = loss_mse + loss_sup + loss_mi
     aux = {
         "loss": total,
