@@ -8,8 +8,6 @@ loss configuration; Trainer/Evaluator consume it, so alternative training
 recipes (different losses/metrics) plug in by registration.
 """
 
-from typing import Optional
-
 from fami_pose_tpu.engine.steps import make_eval_step, make_train_step
 from fami_pose_tpu.utils.registry import CORE_FUNCTION_REGISTRY
 

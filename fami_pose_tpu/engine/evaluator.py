@@ -14,7 +14,7 @@ import logging
 import os.path as osp
 import time
 from collections import OrderedDict
-from typing import List, Optional
+from typing import List
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,7 @@ import os
 import os.path as osp
 
 from fami_pose_tpu.models import get_model_hyperparameter
-from fami_pose_tpu.utils.registry import TEST_PHASE, TRAIN_PHASE, VAL_PHASE
+from fami_pose_tpu.utils.registry import TEST_PHASE, VAL_PHASE
 
 
 def dataset_tag(cfg) -> str:

@@ -13,9 +13,6 @@ argmax (``engine/core/utils/evaluate.py:13-75`` semantics) and fetched by the
 caller only at PRINT_FREQ boundaries.
 """
 
-from functools import partial
-from typing import Callable, Optional
-
 import jax
 import jax.numpy as jnp
 

@@ -6,9 +6,8 @@ training loop mutates lives in this immutable struct, threaded through the
 jitted train step and donated for in-place buffer reuse.
 """
 
-from typing import Any, Callable
+from typing import Any
 
-import jax
 import jax.numpy as jnp
 import optax
 from flax import struct

@@ -15,7 +15,6 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 import fami_pose_tpu.data  # noqa: F401  (dataset registration)
 from fami_pose_tpu.data.loader import build_train_loader, prepare_train_batch

@@ -11,8 +11,7 @@ video, fill frames that got no predictions).
 import json
 import os
 import os.path as osp
-from collections import defaultdict
-from typing import Dict, List, Sequence
+from typing import Dict, List
 
 import numpy as np
 

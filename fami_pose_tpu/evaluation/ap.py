@@ -1,11 +1,8 @@
 """Per-joint AP / precision / recall (``poseval/py/evaluateAP.py:8-47``)."""
 
-from typing import List, Tuple
-
 import numpy as np
 
 from .assign import assign_gt_multi
-from .poseval_data import N_JOINTS
 
 
 def voc_ap(recall: np.ndarray, precision: np.ndarray) -> float:

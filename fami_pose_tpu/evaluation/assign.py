@@ -8,11 +8,11 @@ per-joint scores with hit labels, unmatched ones with all-false labels.
 Also emits the per-joint MOT containers used by the tracking metric.
 """
 
-from typing import Dict, List, Tuple
+from typing import Dict
 
 import numpy as np
 
-from .poseval_data import N_JOINTS, MIN_SCORE, get_head_size, point_by_id
+from .poseval_data import N_JOINTS, MIN_SCORE, get_head_size
 
 
 def _frame_arrays(frame, n_joints=N_JOINTS):

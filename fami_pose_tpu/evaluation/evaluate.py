@@ -9,7 +9,7 @@ summary).
 """
 
 from collections import OrderedDict
-from typing import Dict, Tuple
+from typing import Dict
 
 import numpy as np
 

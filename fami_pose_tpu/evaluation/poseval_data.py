@@ -11,7 +11,6 @@ vendored code used shapely).
 
 import glob
 import json
-import os
 import os.path as osp
 from typing import Dict, List, Tuple
 

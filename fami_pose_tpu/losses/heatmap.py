@@ -13,7 +13,7 @@ The reference's ``build_loss`` import of the absent ``integral_loss`` module
 broken optional losses; ``build_loss`` dispatches on ``cfg.LOSS.NAME``.
 """
 
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, Sequence, Tuple
 
 import jax.numpy as jnp
 

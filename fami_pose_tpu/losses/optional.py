@@ -9,7 +9,7 @@ formulations; both are config-gated OFF by default
 shipped configs.
 """
 
-from typing import Optional, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -6,7 +6,7 @@ driven). Present-but-unused by the shipped FAMI-Pose model; kept for
 experiment-config parity. All use the TPU deformable conv
 (``ops.pallas.dcn.make_deform_conv_fn`` fast paths / exact gather)."""
 
-from typing import Any, Optional
+from typing import Any
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -29,7 +29,7 @@ see the window logic at ``PoseTrack_Alignment.py:311-359``); the reference
 hardcodes the resulting ``48*4`` aggregation width, here it is derived.
 """
 
-from typing import Any, Dict, Sequence, Tuple
+from typing import Any, Dict
 
 import flax.linen as nn
 import jax

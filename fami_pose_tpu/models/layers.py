@@ -15,7 +15,7 @@ PyTorch parity notes:
   * Weight layouts: torch OIHW -> flax HWIO (see ``torch_remap.py``).
 """
 
-from typing import Any, Callable, Optional, Sequence, Tuple, Union
+from typing import Any, Callable, Tuple, Union
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -24,7 +24,6 @@ through it — exact, since both compute the same function).
 """
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

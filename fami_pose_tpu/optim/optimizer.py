@@ -12,7 +12,7 @@ converts it to a per-step schedule so everything stays inside one jitted
 update.
 """
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import optax
 
