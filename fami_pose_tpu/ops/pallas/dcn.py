@@ -358,8 +358,11 @@ def make_deform_conv_fn(
             x, offset, mask, weight, g, padding=padding, dilation=dilation,
             offset_groups=offset_groups, max_offset=max_offset,
             # smaller row block: the backward holds halo copies of
-            # gout/offsets/mask plus the shift-adjoint scratch in VMEM
-            row_block=_best_row_block(x.shape[1], target=8),
+            # gout/offsets/mask plus the shift-adjoint scratch in VMEM;
+            # shrink further for wide windows (halo rows = tr + 2*(D+4))
+            row_block=_best_row_block(
+                x.shape[1], target=8 if max_offset <= 4 else 4
+            ),
         )
         if bias is None:
             db = None

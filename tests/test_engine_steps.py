@@ -146,3 +146,23 @@ def test_second_param_group():
     assert up_head < up_body
     np.testing.assert_allclose(up_body, 1e-3, rtol=1e-3)
     np.testing.assert_allclose(up_head, 1e-6, rtol=1e-3)
+
+
+def test_eval_step_sharded(setup, rng):
+    """Eval step with batch sharded over the 8-device mesh."""
+    model, cfg, tx, state = setup
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    batch = _make_batch(rng, b=8)
+    mesh = build_mesh(jax.devices()[:8], mesh_shape=[8, 1])
+    with mesh:
+        ev = make_eval_step(model, mesh=mesh)
+        sb = shard_batch(
+            {"kf": batch["kf"], "sup": batch["sup"]}, mesh
+        )
+        hm, kf_bb = ev(variables, sb["kf"], sb["sup"])
+    # matches the unsharded result
+    hm0, _ = make_eval_step(model)(variables, jnp.asarray(batch["kf"]),
+                                   jnp.asarray(batch["sup"]))
+    np.testing.assert_allclose(
+        np.asarray(hm), np.asarray(hm0), rtol=2e-4, atol=2e-4
+    )
