@@ -78,6 +78,8 @@ def test_runner_train_then_eval(tmp_path):
     annot_dir = _write_gt_annolists(root, img_dir, cfg)
     cfg.VAL.ANNOT_DIR = annot_dir
     cfg.VAL.USE_GT_BBOX = True
+    cfg.VAL.POST_PROCESS = True  # exercise the DARK decode path
+    cfg.VAL.FLIP_VAL = True      # and flip-test averaging
 
     from fami_pose_tpu.engine.runner import Runner
 
