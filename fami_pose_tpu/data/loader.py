@@ -8,8 +8,9 @@ ONE jitted call per batch on device (``prepare_train_batch``). A small
 prefetch queue overlaps host IO with device compute.
 """
 
-import queue
-import threading
+import itertools
+from collections import deque
+from concurrent.futures import ThreadPoolExecutor
 from functools import partial
 from typing import Dict, Iterator, Optional
 
@@ -135,32 +136,44 @@ class DataLoader:
                 batches.append((idx, len(idx)))
         return batches
 
+    def _load_batch(self, idx, valid) -> Dict:
+        samples = [self.dataset[int(i)] for i in idx]
+        batch = collate(samples)
+        batch["valid"] = valid
+        return batch
+
     def __iter__(self) -> Iterator[Dict]:
+        """Yield batches in deterministic order, loaded by ``num_workers``
+        threads with a bounded look-ahead window.
+
+        The reference hands this to ``torch.utils.data.DataLoader`` fork
+        workers (``datasets/zoo/build.py:44``); here each batch is one task
+        on a shared thread pool — cv2/jpeg decode release the GIL, so
+        threads overlap the 1+N imreads + warps per sample (HOT LOOP #1,
+        SURVEY §3.4) without fork/pickle costs. The in-order reorder window
+        (``num_workers + prefetch``) bounds memory like torch's
+        ``prefetch_factor``.
+        """
         batches = self._index_batches()
-        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
-        stop = object()
+        if self.num_workers <= 1:
+            for idx, valid in batches:
+                yield self._load_batch(idx, valid)
+            self.epoch += 1
+            return
 
-        def worker():
-            try:
-                for idx, valid in batches:
-                    samples = [self.dataset[int(i)] for i in idx]
-                    batch = collate(samples)
-                    batch["valid"] = valid
-                    q.put(batch)
-            except Exception as e:  # propagate into the consumer
-                q.put(e)
-            finally:
-                q.put(stop)
-
-        t = threading.Thread(target=worker, daemon=True)
-        t.start()
-        while True:
-            item = q.get()
-            if item is stop:
-                break
-            if isinstance(item, Exception):
-                raise item
-            yield item
+        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            window = self.num_workers + self.prefetch
+            it = iter(batches)
+            futures = deque(
+                pool.submit(self._load_batch, idx, valid)
+                for idx, valid in itertools.islice(it, window)
+            )
+            while futures:
+                batch = futures.popleft().result()
+                nxt = next(it, None)
+                if nxt is not None:
+                    futures.append(pool.submit(self._load_batch, *nxt))
+                yield batch
         self.epoch += 1
 
 
