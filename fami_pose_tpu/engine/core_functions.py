@@ -19,7 +19,8 @@ class BaseCoreFunction:
     def build_train_step(self, model, mesh=None):
         raise NotImplementedError
 
-    def build_eval_step(self, model, mesh=None, flip_pairs=None):
+    def build_eval_step(self, model, mesh=None, flip_pairs=None,
+                        flip_test: bool = False):
         raise NotImplementedError
 
 

@@ -166,3 +166,30 @@ def test_eval_step_sharded(setup, rng):
     np.testing.assert_allclose(
         np.asarray(hm), np.asarray(hm0), rtol=2e-4, atol=2e-4
     )
+
+
+def test_core_function_builds_sharded_eval_step(setup, rng):
+    """Evaluator wiring: AlignmentMIFunction.build_eval_step accepts mesh +
+    flip_test + flip_pairs together (VERDICT r1: signature split between
+    BaseCoreFunction and the implementation)."""
+    from fami_pose_tpu.config import get_default_cfg
+    from fami_pose_tpu.engine.core_functions import build_core_function
+
+    model, cfg, tx, state = setup
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    batch = _make_batch(rng, b=8)
+    core = build_core_function(get_default_cfg())
+    mesh = build_mesh(jax.devices()[:8], mesh_shape=[8, 1])
+    with mesh:
+        ev = core.build_eval_step(
+            model, mesh=mesh, flip_test=True, flip_pairs=[(1, 2), (3, 4)]
+        )
+        sb = shard_batch({"kf": batch["kf"], "sup": batch["sup"]}, mesh)
+        hm, _ = ev(variables, sb["kf"], sb["sup"])
+    ev0 = core.build_eval_step(
+        model, flip_test=True, flip_pairs=[(1, 2), (3, 4)]
+    )
+    hm0, _ = ev0(variables, jnp.asarray(batch["kf"]), jnp.asarray(batch["sup"]))
+    np.testing.assert_allclose(
+        np.asarray(hm), np.asarray(hm0), rtol=2e-4, atol=2e-4
+    )
