@@ -49,15 +49,11 @@ class CfgNode(dict):
         self[name] = value
 
     def __setitem__(self, name: str, value: Any) -> None:
+        # yacs semantics: direct sets on an unfrozen node may add new keys
+        # (defaults construction relies on this); unknown-key rejection is
+        # the *merge* path's job (_merge_into checks NEW_ALLOWED there).
         if self.__dict__[CfgNode.__IMMUTABLE]:
             raise AttributeError(f"CfgNode is frozen; cannot set key {name!r}")
-        if (
-            name not in self
-            and not self.__dict__[CfgNode.__NEW_ALLOWED]
-            and len(self) > 0
-            and self.__dict__.get("__cfg_strict__", False)
-        ):
-            raise KeyError(f"Unknown config key: {name}")
         super().__setitem__(name, value)
 
     # -- mutability -----------------------------------------------------------

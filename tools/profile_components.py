@@ -11,7 +11,11 @@ Usage: python tools/profile_components.py [--batch 32] [--iters 20]
 
 import argparse
 import os
+import os.path as osp
+import sys
 import time
+
+sys.path.insert(0, osp.join(osp.dirname(__file__), ".."))
 
 import jax
 import jax.numpy as jnp
