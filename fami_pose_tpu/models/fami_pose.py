@@ -159,6 +159,11 @@ class FAMIPose(nn.Module):
             extra = dict(W48_EXTRA)
         stage2 = extra["STAGE2"]["NUM_CHANNELS"][0]
         max_off = cfg.TPU.DCN_MAX_OFFSET if hasattr(cfg.TPU, "DCN_MAX_OFFSET") else 6
+        # DCN_MAX_OFFSET <= 0 (or null) selects the exact unbounded gather
+        # implementation — torchvision-bit-faithful parity mode, slow on TPU
+        # (docs/DCN_OFFSET_BOUND.md)
+        if max_off is not None and int(max_off) <= 0:
+            max_off = None
         groups = (
             int(cfg.TPU.DCN_OFFSET_GROUPS)
             if hasattr(cfg.TPU, "DCN_OFFSET_GROUPS")

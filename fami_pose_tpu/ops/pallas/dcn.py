@@ -295,6 +295,178 @@ def _dcn_kernel_v5(
     ).astype(o_ref.dtype)
 
 
+def _dcn_kernel_v6(
+    x_ref, off_ref, msk_ref, w_ref, o_ref, col_ref, *, kh, kw, dil, pad,
+    d_max, groups, cg, tr, c_in, c_out, margin,
+):
+    """Row-stacked big-tile kernel: ``tr`` image rows per vector instruction.
+
+    v3 issues its window-loop ops on (C, 128) tiles — at C = 48 each
+    instruction does ~6 cycles of work, so per-instruction overhead dominates
+    (measured: the kernel runs ~5x above its elementwise VPU floor). v6
+    changes the VMEM layout to *row-stacked*: ``x`` is (H*C, 128) with
+    sublane = row*C + channel (channels in natural group-major order), so one
+    dynamic sublane slice yields ``tr`` rows = a (tr*C, 128) tile and every
+    gather/FMA in the window loop runs on 16x bigger operands — same total
+    element work, ~16x fewer instructions. Offsets/masks arrive pre-stacked
+    as (K, 2, H*G, 128) / (K, H*G, 128); the per-group quantities broadcast
+    over the channels-per-group axis via one ``(tr*G, cg, 128)`` reshape
+    (sublane order (row, group, cg) matches the stacked x exactly), and the
+    per-tap columns are written through a (tr, C, 128) -> (C, tr*128)
+    relayout into the tap-batched matmul scratch of v5.
+    """
+    del kw  # kw == 3 assumed only through tap indexing below (t = a*3 + b)
+    kw = 3
+    s_win = 2 * d_max + 2
+    row0 = pl.program_id(1) * tr
+    trc = tr * c_in
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (trc, LANE), 1)
+
+    for a in range(kh):
+        idx0, fxc, wy_in = [], [], []
+        for b in range(kw):
+            t = a * kw + b
+            tx = jnp.clip(off_ref[0, t, 1], -d_max, d_max)  # (tr*G, LANE)
+            x0 = jnp.floor(tx)
+            fx = (tx - x0).astype(jnp.float32)
+            x0c = jnp.repeat(x0.astype(jnp.int32), cg, axis=0)  # (trc, LANE)
+            idx0.append(
+                jnp.clip(col_iota + (b * dil - pad) + x0c, 0, LANE - 1)
+            )
+            fxc.append(jnp.repeat(fx, cg, axis=0))
+            wy_in.append(
+                (jnp.clip(off_ref[0, t, 0], -d_max, d_max), msk_ref[0, t])
+            )
+
+        def body(dyi, cols):
+            dy = dyi - d_max
+            start = (margin + row0 + a * dil - pad + dy) * c_in
+            xwin = x_ref[0, pl.ds(start, trc), :]  # (tr*C, LANE)
+            out = []
+            for b in range(kw):
+                ty, m = wy_in[b]
+                wy = jnp.maximum(
+                    0.0, 1.0 - jnp.abs(ty - dy.astype(jnp.float32))
+                ) * m  # (tr*G, LANE)
+                g0 = jnp.take_along_axis(xwin, idx0[b], axis=1)
+                g1 = jnp.take_along_axis(
+                    xwin, jnp.minimum(idx0[b] + 1, LANE - 1), axis=1
+                )
+                samp = g0 * (1.0 - fxc[b]) + g1 * fxc[b]
+                out.append(
+                    cols[b]
+                    + samp.reshape(tr * groups, cg, LANE) * wy[:, None, :]
+                )
+            return tuple(out)
+
+        init = tuple(
+            jnp.zeros((tr * groups, cg, LANE), jnp.float32) for _ in range(kw)
+        )
+        cols = jax.lax.fori_loop(0, s_win, body, init)
+        for b in range(kw):
+            t = a * kw + b
+            piece = (
+                cols[b]
+                .reshape(tr, c_in, LANE)
+                .transpose(1, 0, 2)
+                .reshape(c_in, tr * LANE)
+            )
+            col_ref[t * c_in : (t + 1) * c_in, :] = piece
+
+    o_ref[0] = jax.lax.dot_general(
+        w_ref[:].reshape(kh * kw * c_in, c_out).astype(jnp.float32),
+        col_ref[:],
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(o_ref.dtype)
+
+
+def _deform_conv2d_pallas_v6(
+    x, offset, mask, weight, bias, *, padding, dilation, offset_groups,
+    max_offset, row_block, interpret,
+):
+    """Prep + launch for the row-stacked kernel (stride 1, kh = kw = 3)."""
+    n, h, w, c = x.shape
+    kh, kw, _, c_out = weight.shape
+    k = kh * kw
+    g = offset_groups
+    cg = c // g
+    d_max = int(max_offset)
+    dil = int(dilation)
+    pad = int(padding)
+    tr = int(row_block)
+    assert h % tr == 0, (h, tr)
+    margin = pad + d_max + 1  # covers every row/col displacement
+    assert w + 2 * margin <= LANE, (w, margin)
+    hx = h + 2 * margin
+
+    # x: (N, Hx*C, 128) row-stacked, natural (group-major) channel order
+    x6 = jnp.pad(
+        x.astype(jnp.float32),
+        ((0, 0), (margin, margin), (margin, LANE - w - margin), (0, 0)),
+    )
+    x6 = x6.transpose(0, 1, 3, 2).reshape(n, hx * c, LANE)
+
+    # offsets: (N, K, 2, H*G, 128); channel order [g][k][dy/dx] -> [k][dy/dx][g]
+    off = offset.reshape(n, h, w, g, k, 2).transpose(0, 4, 5, 1, 3, 2)
+    off = jnp.pad(
+        off, ((0, 0),) * 4 + ((0, 0), (margin, LANE - w - margin))
+    )
+    off6 = off.reshape(n, k, 2, h * g, LANE).astype(jnp.float32)
+
+    if mask is None:
+        msk = jnp.ones((n, h, w, g, k), x.dtype)
+    else:
+        msk = mask.reshape(n, h, w, g, k)
+    msk = msk.transpose(0, 4, 1, 3, 2)
+    msk = jnp.pad(msk, ((0, 0),) * 3 + ((0, 0), (margin, LANE - w - margin)))
+    msk6 = msk.reshape(n, k, h * g, LANE).astype(jnp.float32)
+
+    w_k = weight.reshape(k, c, c_out)
+
+    kernel = functools.partial(
+        _dcn_kernel_v6, kh=kh, kw=kw, dil=dil, pad=pad, d_max=d_max,
+        groups=g, cg=cg, tr=tr, c_in=c, c_out=c_out, margin=margin,
+    )
+    flops = 2 * n * h * w * (k * c * (2 * d_max + 2) + k * c * c_out)
+    out_flat = pl.pallas_call(
+        kernel,
+        grid=(n, h // tr),
+        in_specs=[
+            pl.BlockSpec(
+                (1, hx * c, LANE), lambda b, i: (b, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, k, 2, tr * g, LANE), lambda b, i: (b, 0, 0, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, k, tr * g, LANE), lambda b, i: (b, 0, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, c_out, tr * LANE), lambda b, i: (b, 0, i),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, c_out, h * LANE), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=x.size * 4 + offset.size * 4,
+            transcendentals=0,
+        ),
+        scratch_shapes=[pltpu.VMEM((k * c, tr * LANE), jnp.float32)],
+        interpret=bool(interpret),
+    )(x6, off6, msk6, w_k)
+
+    out = out_flat.reshape(n, c_out, h, LANE)[:, :, :, margin : margin + w]
+    out = out.transpose(0, 2, 3, 1).astype(x.dtype)
+    if bias is not None:
+        out = out + bias
+    return out
+
+
 def _dcn_kernel_v3(
     x_ref, off_ref, msk_ref, w_ref, o_ref, *, kh, kw, dil, pad,
     d_max, groups, cg, tr, c_in, c_out, margin,
@@ -406,6 +578,12 @@ def deform_conv2d_pallas(
     """Drop-in fused equivalent of ``deform_conv2d_windowed`` (stride 1)."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    if int(kernel_version) == 6:
+        return _deform_conv2d_pallas_v6(
+            x, offset, mask, weight, bias, padding=padding, dilation=dilation,
+            offset_groups=offset_groups, max_offset=max_offset,
+            row_block=row_block, interpret=interpret,
+        )
     n, h, w, c = x.shape
     kh, kw, wc, c_out = weight.shape
     k = kh * kw
