@@ -65,6 +65,15 @@ def get_default_cfg() -> CfgNode:
             "PROFILE_DIR": "",
             "PROFILE_STEPS": 10,
             "REMAT_BACKBONE": False,
+            # move the person-box crop-warp (reference HOT LOOP #1:
+            # per-sample cv2.warpAffine, PoseTrack_Alignment.py:416-423)
+            # on-device: the dataset emits raw frame windows and the jitted
+            # batch prep runs ops.warp.crop_and_warp. Costs a larger H2D
+            # transfer (the canvas window) in exchange for freeing host CPU.
+            "DEVICE_CROP": False,
+            # (h, w) of the person-centered raw window shipped to device;
+            # boxes whose source region exceeds it get zero-padded corners
+            "DEVICE_CROP_CANVAS": [768, 768],
         }
     )
 

@@ -65,6 +65,61 @@ def prepare_eval_inputs(kf_u8, sup_u8):
     return norm(kf_u8), norm(sup_u8)
 
 
+@partial(jax.jit, static_argnames=("sigma", "image_size", "heatmap_size"))
+def prepare_train_batch_device_crop(
+    kf_raw, sup_raw, crop_center, scale, rotation, joints, joints_vis,
+    sigma, image_size, heatmap_size,
+):
+    """Device-crop variant (TPU.DEVICE_CROP): raw uint8 person windows ->
+    on-device batched crop-warp (the reference's HOT LOOP #1 cv2 call,
+    ``PoseTrack_Alignment.py:416-423``, as one jitted op) -> normalize ->
+    heatmap targets. ``image_size`` is (w, h) like the reference."""
+    from fami_pose_tpu.ops.warp import crop_and_warp
+
+    out_hw = (int(image_size[1]), int(image_size[0]))
+    kf = crop_and_warp(kf_raw, crop_center, scale, rotation, out_hw)
+    sup = crop_and_warp(sup_raw, crop_center, scale, rotation, out_hw)
+
+    mean = jnp.asarray(IMAGENET_MEAN)
+    std = jnp.asarray(IMAGENET_STD)
+
+    def norm(x):
+        x = x.astype(jnp.float32) / 255.0
+        c = x.shape[-1] // 3
+        return (x - jnp.tile(mean, c)) / jnp.tile(std, c)
+
+    target, weight = generate_heatmaps(
+        joints, joints_vis, sigma, image_size, heatmap_size
+    )
+    return {
+        "kf": norm(kf),
+        "sup": norm(sup),
+        "target": jnp.transpose(target, (0, 2, 3, 1)),
+        "target_weight": weight[..., 0],
+    }
+
+
+@partial(jax.jit, static_argnames=("image_size",))
+def prepare_eval_inputs_device_crop(
+    kf_raw, sup_raw, crop_center, scale, rotation, image_size
+):
+    from fami_pose_tpu.ops.warp import crop_and_warp
+
+    out_hw = (int(image_size[1]), int(image_size[0]))
+    kf = crop_and_warp(kf_raw, crop_center, scale, rotation, out_hw)
+    sup = crop_and_warp(sup_raw, crop_center, scale, rotation, out_hw)
+
+    mean = jnp.asarray(IMAGENET_MEAN)
+    std = jnp.asarray(IMAGENET_STD)
+
+    def norm(x):
+        x = x.astype(jnp.float32) / 255.0
+        c = x.shape[-1] // 3
+        return (x - jnp.tile(mean, c)) / jnp.tile(std, c)
+
+    return norm(kf), norm(sup)
+
+
 def reverse_transforms(batch_imgs):
     """Normalized float images -> uint8 RGB (reference
     ``datasets/transforms/build.py:31-40``)."""
@@ -83,6 +138,8 @@ def collate(samples) -> Dict[str, np.ndarray]:
               "rotation", "score"):
         out[k] = np.stack([s[k] for s in samples])
     out["image_path"] = [s["image_path"] for s in samples]
+    if "crop_center" in samples[0]:  # TPU.DEVICE_CROP mode
+        out["crop_center"] = np.stack([s["crop_center"] for s in samples])
     return out
 
 

@@ -133,6 +133,12 @@ class PoseTrackDataset(VideoDataset):
         # 'spatiotemporal_window' (default) or 'single_frame' (sup frames are
         # key-frame copies; reference _get_single_frame path, :543-632)
         self.model_input_type = cfg.DATASET.INPUT_TYPE or "spatiotemporal_window"
+        # on-device crop mode (TPU.DEVICE_CROP): __getitem__ skips the
+        # per-frame cv2.warpAffine and returns a person-centered raw window;
+        # the loader's jitted batch prep does the crop-warp on device
+        self.device_crop = bool(getattr(cfg.TPU, "DEVICE_CROP", False))
+        canvas = getattr(cfg.TPU, "DEVICE_CROP_CANVAS", [768, 768])
+        self.device_crop_canvas = (int(canvas[0]), int(canvas[1]))
         self.data = self._list_data()
         self.video_image_index = self._build_video_index(self.data)
         self.show_parameters()
@@ -304,11 +310,19 @@ class PoseTrackDataset(VideoDataset):
 
         trans = dark_get_affine_transform(center, scale, r, self.image_size)
         out_wh = (int(self.image_size[0]), int(self.image_size[1]))
-        kf = cv2.warpAffine(key_img, trans, out_wh, flags=cv2.INTER_LINEAR)
-        sups = [
-            cv2.warpAffine(im, trans, out_wh, flags=cv2.INTER_LINEAR)
-            for im in sup_imgs
-        ]
+        if self.device_crop:
+            # raw person-centered window; the crop-warp runs on device
+            # (ops.warp.crop_and_warp inside the loader's jitted batch prep)
+            kf, origin = self._extract_window(key_img, center)
+            sups = [self._extract_window(im, center)[0] for im in sup_imgs]
+            crop_center = center - origin
+        else:
+            kf = cv2.warpAffine(key_img, trans, out_wh, flags=cv2.INTER_LINEAR)
+            sups = [
+                cv2.warpAffine(im, trans, out_wh, flags=cv2.INTER_LINEAR)
+                for im in sup_imgs
+            ]
+            crop_center = center
 
         for j in range(self.num_joints):
             if joints_vis[j, 0] > 0:
@@ -317,7 +331,7 @@ class PoseTrackDataset(VideoDataset):
             if x < 0 or y < 0 or x > self.image_size[0] or y > self.image_size[1]:
                 joints_vis[j] = 0
 
-        return {
+        sample = {
             "kf": np.ascontiguousarray(kf),  # (H, W, 3) uint8
             "sup": np.ascontiguousarray(np.concatenate(sups, axis=-1)),  # (H, W, 3N)
             "joints": joints[:, :2].astype(np.float32),
@@ -329,6 +343,24 @@ class PoseTrackDataset(VideoDataset):
             "image_path": image_path,
             "sup_paths": sup_paths,
         }
+        if self.device_crop:
+            sample["crop_center"] = crop_center.astype(np.float32)
+        return sample
+
+    def _extract_window(self, img, center):
+        """Paste the ``device_crop_canvas`` window centered at ``center`` into
+        a zero canvas; returns (window_u8, origin_xy). Out-of-image regions
+        are zero — the same values cv2.warpAffine's border would produce."""
+        ch, cw = self.device_crop_canvas
+        ih, iw = img.shape[:2]
+        ox = int(round(float(center[0]))) - cw // 2
+        oy = int(round(float(center[1]))) - ch // 2
+        out = np.zeros((ch, cw, img.shape[2]), img.dtype)
+        sy0, sy1 = max(0, oy), min(ih, oy + ch)
+        sx0, sx1 = max(0, ox), min(iw, ox + cw)
+        if sy1 > sy0 and sx1 > sx0:
+            out[sy0 - oy : sy1 - oy, sx0 - ox : sx1 - ox] = img[sy0:sy1, sx0:sx1]
+        return out, np.asarray([ox, oy], np.float32)
 
     def _sample_ref_path(self, image_path: str, nframes: int) -> str:
         base = osp.basename(image_path)

@@ -115,7 +115,21 @@ class Evaluator:
         t0 = time.time()
         for raw in self.loader:
             valid = int(raw.get("valid", raw["kf"].shape[0]))
-            kf, sup = prepare_eval_inputs(raw["kf"], raw["sup"])
+            if "crop_center" in raw:  # TPU.DEVICE_CROP: raw windows
+                from fami_pose_tpu.data.loader import (
+                    prepare_eval_inputs_device_crop,
+                )
+
+                kf, sup = prepare_eval_inputs_device_crop(
+                    raw["kf"], raw["sup"], raw["crop_center"], raw["scale"],
+                    raw["rotation"],
+                    image_size=(
+                        int(self.cfg.MODEL.IMAGE_SIZE[0]),
+                        int(self.cfg.MODEL.IMAGE_SIZE[1]),
+                    ),
+                )
+            else:
+                kf, sup = prepare_eval_inputs(raw["kf"], raw["sup"])
             kf, sup = shard_batch((kf, sup), self.mesh)
             final_hm, bb_hm = self.eval_step(variables, kf, sup)
             center = raw["center"][:valid]

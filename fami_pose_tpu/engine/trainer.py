@@ -164,11 +164,23 @@ class Trainer:
                     profiler.__exit__(None, None, None)
                     profiler = None
                 data_time.update(time.time() - end)
-                batch = prepare_train_batch(
-                    raw["kf"], raw["sup"], raw["joints"], raw["joints_vis"],
-                    sigma=sigma, image_size=image_size,
-                    heatmap_size=heatmap_size,
-                )
+                if "crop_center" in raw:  # TPU.DEVICE_CROP: raw windows
+                    from fami_pose_tpu.data.loader import (
+                        prepare_train_batch_device_crop,
+                    )
+
+                    batch = prepare_train_batch_device_crop(
+                        raw["kf"], raw["sup"], raw["crop_center"],
+                        raw["scale"], raw["rotation"], raw["joints"],
+                        raw["joints_vis"], sigma=sigma,
+                        image_size=image_size, heatmap_size=heatmap_size,
+                    )
+                else:
+                    batch = prepare_train_batch(
+                        raw["kf"], raw["sup"], raw["joints"], raw["joints_vis"],
+                        sigma=sigma, image_size=image_size,
+                        heatmap_size=heatmap_size,
+                    )
                 batch = shard_batch(batch, self.mesh)
                 self.state, metrics = self.train_step(self.state, batch)
                 self.global_step += 1

@@ -50,17 +50,22 @@ def _dcn_kernel(
             t = a * kw + b
             tys.append(
                 jnp.clip(
-                    off_ref[0, (t * 2 + 0) * groups : (t * 2 + 1) * groups, :],
+                    off_ref[0, (t * 2 + 0) * groups : (t * 2 + 1) * groups, :]
+                    .astype(jnp.float32),
                     -d_max, d_max,
                 )
             )
             txs.append(
                 jnp.clip(
-                    off_ref[0, (t * 2 + 1) * groups : (t * 2 + 2) * groups, :],
+                    off_ref[0, (t * 2 + 1) * groups : (t * 2 + 2) * groups, :]
+                    .astype(jnp.float32),
                     -d_max, d_max,
                 )
             )
-            ms.append(msk_ref[0, t * groups : (t + 1) * groups, :])
+            ms.append(
+                msk_ref[0, t * groups : (t + 1) * groups, :]
+                .astype(jnp.float32)
+            )
 
         def body(dyi, cols):
             dy = dyi - d_max
@@ -140,7 +145,7 @@ def _dcn_kernel_v4(
                 tx = off_ref[
                     0, (t * 2 + 1) * groups : (t * 2 + 2) * groups,
                     r * LANE : (r + 1) * LANE,
-                ]
+                ].astype(jnp.float32)
                 tx = jnp.clip(tx, -d_max, d_max)
                 x0 = jnp.floor(tx)
                 fx = (tx - x0).astype(jnp.float32)
@@ -152,13 +157,13 @@ def _dcn_kernel_v4(
                 ty = off_ref[
                     0, (t * 2 + 0) * groups : (t * 2 + 1) * groups,
                     r * LANE : (r + 1) * LANE,
-                ]
+                ].astype(jnp.float32)
                 ty_r.append(jnp.clip(ty, -d_max, d_max))
                 m_r.append(
                     msk_ref[
                         0, t * groups : (t + 1) * groups,
                         r * LANE : (r + 1) * LANE,
-                    ]
+                    ].astype(jnp.float32)
                 )
 
             def body(dyi, corners):
@@ -237,7 +242,7 @@ def _dcn_kernel_v5(
                 tx = off_ref[
                     0, (t * 2 + 1) * groups : (t * 2 + 2) * groups,
                     r * LANE : (r + 1) * LANE,
-                ]
+                ].astype(jnp.float32)
                 tx = jnp.clip(tx, -d_max, d_max)
                 x0 = jnp.floor(tx)
                 fx = (tx - x0).astype(jnp.float32)
@@ -249,11 +254,11 @@ def _dcn_kernel_v5(
                 ty = off_ref[
                     0, (t * 2 + 0) * groups : (t * 2 + 1) * groups,
                     r * LANE : (r + 1) * LANE,
-                ]
+                ].astype(jnp.float32)
                 m = msk_ref[
                     0, t * groups : (t + 1) * groups,
                     r * LANE : (r + 1) * LANE,
-                ]
+                ].astype(jnp.float32)
                 wy_in.append((jnp.clip(ty, -d_max, d_max), m))
 
             def body(dyi, cols3):
@@ -496,7 +501,7 @@ def _dcn_kernel_v3(
                 tx = off_ref[
                     0, (t * 2 + 1) * groups : (t * 2 + 2) * groups,
                     r * LANE : (r + 1) * LANE,
-                ]
+                ].astype(jnp.float32)
                 tx = jnp.clip(tx, -d_max, d_max)
                 x0 = jnp.floor(tx)
                 fx = (tx - x0).astype(jnp.float32)
@@ -508,11 +513,11 @@ def _dcn_kernel_v3(
                 ty = off_ref[
                     0, (t * 2 + 0) * groups : (t * 2 + 1) * groups,
                     r * LANE : (r + 1) * LANE,
-                ]
+                ].astype(jnp.float32)
                 m = msk_ref[
                     0, t * groups : (t + 1) * groups,
                     r * LANE : (r + 1) * LANE,
-                ]
+                ].astype(jnp.float32)
                 wy_in.append((jnp.clip(ty, -d_max, d_max), m))
 
             def body(dyi, cols3):
@@ -619,7 +624,9 @@ def deform_conv2d_pallas(
     off = offset.reshape(n, h, w, g, k, 2).transpose(0, 4, 5, 3, 1, 2)
     off = off.reshape(n, 2 * g * k, h, w)
     off = jnp.pad(off, ((0, 0), (0, 0), (0, 0), (margin, pad_right)))
-    off_flat = off.reshape(n, 2 * g * k, h * LANE).astype(jnp.float32)
+    # keep the input dtype (bf16 in the flagship): the padded/transposed
+    # staging copies halve, and the kernels convert per-(G,128) tile
+    off_flat = off.reshape(n, 2 * g * k, h * LANE)
 
     if mask is None:
         msk = jnp.ones((n, h, w, g, k), x.dtype)
@@ -627,7 +634,7 @@ def deform_conv2d_pallas(
         msk = mask.reshape(n, h, w, g, k)
     msk = msk.transpose(0, 4, 3, 1, 2).reshape(n, g * k, h, w)
     msk = jnp.pad(msk, ((0, 0), (0, 0), (0, 0), (margin, pad_right)))
-    msk_flat = msk.reshape(n, g * k, h * LANE).astype(jnp.float32)
+    msk_flat = msk.reshape(n, g * k, h * LANE)
 
     w_k = weight.reshape(k, c, c_out)[:, perm, :]
 

@@ -144,6 +144,7 @@ def test_named_initializers():
         get_initializer("bogus")
 
 
+@pytest.mark.slow
 def test_deform_block_variants(rng):
     from fami_pose_tpu.models.deform_blocks import (
         AdaptBlock,

@@ -119,6 +119,7 @@ def test_zero_offset_unit_mask_equals_plain_conv(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_gradients_flow(rng):
     """Grad w.r.t. input, offsets, mask, and weight must be finite/nonzero."""
     n, h, w, c = 1, 6, 6, 4

@@ -46,6 +46,7 @@ def test_windowed_clamps_large_offsets(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_windowed_gradients(rng):
     n, h, w, c = 1, 6, 6, 4
     d = 2

@@ -8,6 +8,8 @@ import os.path as osp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from fami_pose_tpu.data.keypoints import coco2posetrack_ord_infer
 from fixtures import make_cfg, make_posetrack_fixture
 

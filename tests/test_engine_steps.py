@@ -47,6 +47,7 @@ def setup():
     return model, cfg, tx, state
 
 
+@pytest.mark.slow
 def test_train_step_decreases_loss(setup, rng):
     model, cfg, tx, state = setup
     step_fn = make_train_step(model, donate=False)
@@ -64,6 +65,7 @@ def test_train_step_decreases_loss(setup, rng):
         assert k in metrics
 
 
+@pytest.mark.slow
 def test_train_step_sharded_matches_single(setup, rng):
     """Same batch through the 8-device mesh and single device: same loss."""
     model, cfg, tx, state = setup
@@ -84,6 +86,7 @@ def test_train_step_sharded_matches_single(setup, rng):
     )
 
 
+@pytest.mark.slow
 def test_eval_step_and_flip_test(setup, rng):
     model, cfg, tx, state = setup
     variables = {"params": state.params, "batch_stats": state.batch_stats}
@@ -148,6 +151,7 @@ def test_second_param_group():
     np.testing.assert_allclose(up_head, 1e-6, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_eval_step_sharded(setup, rng):
     """Eval step with batch sharded over the 8-device mesh."""
     model, cfg, tx, state = setup
@@ -168,6 +172,7 @@ def test_eval_step_sharded(setup, rng):
     )
 
 
+@pytest.mark.slow
 def test_core_function_builds_sharded_eval_step(setup, rng):
     """Evaluator wiring: AlignmentMIFunction.build_eval_step accepts mesh +
     flip_test + flip_pairs together (VERDICT r1: signature split between

@@ -115,6 +115,7 @@ def test_total_loss_signs():
     np.testing.assert_allclose(float(total), expect, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_grad_flows_through_model(model_and_vars, rng):
     m, v = model_and_vars
     kf, sup = _rand_inputs(rng, b=1)
@@ -137,6 +138,7 @@ def test_grad_flows_through_model(model_and_vars, rng):
     assert float(jnp.abs(grads["hrnet"]["stem_conv1"]["kernel"]).max()) > 0
 
 
+@pytest.mark.slow
 def test_init_weights_reference(model_and_vars):
     m, v = model_and_vars
     p2 = init_weights_reference(v["params"], jax.random.PRNGKey(7))

@@ -154,6 +154,7 @@ def test_bottleneck_parity(rng):
     np.testing.assert_allclose(from_nhwc(out), ref, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_chain_of_basic_blocks_shapes(rng):
     mod = ChainOfBasicBlocks(12, num_blocks=3)
     x = jnp.asarray(rng.randn(2, 9, 7, 30).astype(np.float32))

@@ -4,6 +4,8 @@ CPU; the same comparison runs compiled on real TPU hardware)."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import jax
 import jax.numpy as jnp
 

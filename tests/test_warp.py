@@ -67,6 +67,7 @@ def test_warp_gradients_flow():
     assert np.all(np.isfinite(np.asarray(g)))
 
 
+@pytest.mark.slow
 def test_warp_translate_matches_affine_path(rng):
     """The gather-free translation warp must equal the general affine warp."""
     import jax.numpy as jnp
