@@ -219,6 +219,160 @@ def remap_hrnet_state_dict(
     return params, batch_stats, unmapped
 
 
+def _block_rest_to_flax(rest: Tuple[str, ...]):
+    """Map a reference BasicBlock param suffix (``conv1.weight``,
+    ``bn2.running_var``, ``downsample.0.weight`` ...) to the flax path."""
+    def bn_leaf(leaf):
+        return {
+            "weight": ("params", "scale"),
+            "bias": ("params", "bias"),
+            "running_mean": ("batch_stats", "mean"),
+            "running_var": ("batch_stats", "var"),
+        }.get(leaf)
+
+    if rest[0] in ("conv1", "conv2") and rest[1] == "weight":
+        return "params", (rest[0], "kernel")
+    if rest[0] in ("bn1", "bn2"):
+        r = bn_leaf(rest[1])
+        if r is None:
+            return None
+        return r[0], (f"norm{rest[0][-1]}", "bn", r[1])
+    if rest[0] == "downsample" and rest[1] == "0" and rest[2] == "weight":
+        return "params", ("downsample", "conv", "kernel")
+    if rest[0] == "downsample" and rest[1] == "1":
+        r = bn_leaf(rest[2])
+        if r is None:
+            return None
+        return r[0], ("downsample", "norm", "bn", r[1])
+    return None
+
+
+def remap_fami_pose_state_dict(sd: Dict[str, np.ndarray]):
+    """Convert a full reference ``Alignment_V15`` state_dict to the flax
+    :class:`fami_pose_tpu.models.fami_pose.FAMIPose` tree.
+
+    Covers the backbone (via :func:`remap_hrnet_state_dict` under the
+    ``hrnet`` prefix, matching ``Alignment_V15.py:216-240`` load semantics)
+    plus the alignment head: global-offset tower (reference
+    ``feat_global_offset_layers`` Sequential, ``Alignment_V15.py:61-72``),
+    the three ChainOfBasicBlocks aggregators, the per-stage DCN offset/mask
+    convs and DeformConv2d weights, and ``agg_final_layer``. Linear weights
+    transpose OI -> IO; ``fc1`` additionally permutes its input from torch's
+    flattened (C, H, W) order to flax's (H, W, C).
+
+    Returns (params, batch_stats, unmapped_keys).
+    """
+    chains = {
+        "combined_feat_layers": ("combined_feat_layers",),
+        "sup_agg_block": ("sup_agg_block",),
+        "init_feature_agg_block": ("init_feature_agg_block",),
+    }
+    params: dict = {}
+    batch_stats: dict = {}
+    unmapped = []
+
+    hrnet_sd = {}
+    for key, value in sd.items():
+        if key.endswith("num_batches_tracked"):
+            continue
+        parts = key.split(".")
+        if parts[0] == "hrnet":
+            if parts[1] == "final_layer":
+                # shared head: flax scopes hrnet.final_layer at the TOP level
+                # (a compact_name_scope method also invoked by the parent for
+                # the per-sup aux heatmaps / MI estimators)
+                _set(
+                    params,
+                    ("final_layer", "final_conv",
+                     "kernel" if parts[2] == "weight" else "bias"),
+                    _conv_w(np.asarray(value))
+                    if parts[2] == "weight" else np.asarray(value),
+                )
+                continue
+            hrnet_sd[key[len("hrnet."):]] = value
+            continue
+
+        mapped = None
+        if parts[0] in chains and parts[1] == "layers":
+            rest = _block_rest_to_flax(tuple(parts[3:]))
+            if rest is not None:
+                mapped = rest[0], (parts[0], f"block{parts[2]}") + rest[1]
+        elif parts[0] == "feat_global_offset_layers":
+            slot = int(parts[1])
+            if slot == 0 and parts[2] == "layers":
+                rest = _block_rest_to_flax(tuple(parts[4:]))
+                if rest is not None:
+                    mapped = rest[0], (
+                        "global_offset", "chain", f"block{parts[3]}",
+                    ) + rest[1]
+            elif 1 <= slot <= 5:
+                leafmod, leaf = parts[2], parts[3]
+                down = f"down{slot - 1}"
+                if leafmod == "conv":
+                    mapped = "params", (
+                        "global_offset", down, "conv",
+                        "kernel" if leaf == "weight" else "bias",
+                    )
+                elif leafmod == "bn":
+                    r = {
+                        "weight": ("params", "scale"),
+                        "bias": ("params", "bias"),
+                        "running_mean": ("batch_stats", "mean"),
+                        "running_var": ("batch_stats", "var"),
+                    }.get(leaf)
+                    if r is not None:
+                        mapped = r[0], ("global_offset", down, "norm", "bn", r[1])
+            elif slot in (7, 8, 9):
+                fc = f"fc{slot - 6}"
+                if parts[2] == "weight":
+                    w = np.asarray(value)
+                    if slot == 7:
+                        # torch flattens NCHW (C=16, 3, 3); flax flattens NHWC
+                        c = 16
+                        hw = w.shape[1] // c
+                        side = int(round(hw ** 0.5))
+                        w = (
+                            w.reshape(w.shape[0], c, side, side)
+                            .transpose(0, 2, 3, 1)
+                            .reshape(w.shape[0], -1)
+                        )
+                    _set(params, ("global_offset", fc, "kernel"), w.T)
+                    continue
+                if parts[2] == "bias":
+                    mapped = "params", ("global_offset", fc, "bias")
+        elif parts[0].startswith(("dcn_offset_", "dcn_mask_")):
+            if parts[1] == "conv":
+                mapped = "params", (
+                    parts[0], "conv",
+                    "kernel" if parts[2] == "weight" else "bias",
+                )
+        elif parts[0].startswith("dcn_"):
+            if parts[1] == "weight":
+                mapped = "params", (parts[0], "kernel")
+            elif parts[1] == "bias":
+                mapped = "params", (parts[0], "bias")
+        elif parts[0] == "agg_final_layer":
+            mapped = "params", (
+                "agg_final_layer",
+                "kernel" if parts[1] == "weight" else "bias",
+            )
+
+        if mapped is None:
+            unmapped.append(key)
+            continue
+        coll, path = mapped
+        value = np.asarray(value)
+        if path[-1] == "kernel" and value.ndim == 4:
+            value = _conv_w(value)
+        _set(params if coll == "params" else batch_stats, path, value)
+
+    hp, hb, hu = remap_hrnet_state_dict(hrnet_sd, prefix=("hrnet",))
+    params.update(hp)
+    batch_stats.update(hb)
+    unmapped += [f"hrnet.{k}" for k in hu]
+    return params, batch_stats, unmapped
+
+
 def merge_into_variables(variables: dict, params: dict, batch_stats: dict) -> dict:
     """Overlay remapped values onto freshly-initialized flax variables,
     checking shapes. Returns a new variables dict."""
