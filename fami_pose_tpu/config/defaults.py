@@ -207,6 +207,9 @@ def get_default_cfg() -> CfgNode:
             # alignment_mi_function_term6_1.py:119; surfaced as config here)
             "MI_ALPHA": 0.5,
             "MI_BETA": 0.1,
+            # JHMDB config-tree compatibility (reference config/jhmdb.py:91);
+            # top-k hard-pixel mining knob, unused by the shipped loss
+            "TOPK": 8,
         }
     )
 

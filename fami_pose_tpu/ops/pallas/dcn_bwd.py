@@ -50,7 +50,7 @@ def _bwd_fwdside_kernel(
     def _():
         dw_ref[...] = jnp.zeros_like(dw_ref)
 
-    gout_blk = g_ref[0]  # (Co, TRWP)
+    gout_blk = g_ref[0].astype(jnp.float32)  # (Co, TRWP)
 
     for a in range(kh):
         for b in range(kw):
@@ -65,11 +65,17 @@ def _bwd_fwdside_kernel(
             )  # (C, TRWP)
             dcol3 = dcol.reshape(cg, groups, trwp)
 
-            ty_raw = off_ref[0, (t * 2 + 0) * groups : (t * 2 + 1) * groups, :]
-            tx_raw = off_ref[0, (t * 2 + 1) * groups : (t * 2 + 2) * groups, :]
+            ty_raw = off_ref[
+                0, (t * 2 + 0) * groups : (t * 2 + 1) * groups, :
+            ].astype(jnp.float32)
+            tx_raw = off_ref[
+                0, (t * 2 + 1) * groups : (t * 2 + 2) * groups, :
+            ].astype(jnp.float32)
             ty = jnp.clip(ty_raw, -d_max, d_max)
             tx = jnp.clip(tx_raw, -d_max, d_max)
-            m = msk_ref[0, t * groups : (t + 1) * groups, :]
+            m = msk_ref[0, t * groups : (t + 1) * groups, :].astype(
+                jnp.float32
+            )
 
             def body(dyi, carry):
                 s_acc, dmsk_acc, dty_acc, dtx_acc = carry
@@ -146,7 +152,7 @@ def _bwd_dx_kernel(
     trwp = tr * LANE
     thw = (tr + 2 * margin) * LANE
 
-    gout_halo = g_ref[0, 0]  # (Co, THW)
+    gout_halo = g_ref[0, 0].astype(jnp.float32)  # (Co, THW)
     dx_acc = jnp.zeros((c_in, trwp), jnp.float32)
     for a in range(kh):
         for b in range(kw):
@@ -176,9 +182,9 @@ def _bwd_dx_kernel(
                 ]
                 m_p = msk_ref[
                     0, 0, t * groups : (t + 1) * groups, pl.ds(start, trwp)
-                ]
-                ty_p = jnp.clip(ty_p, -d_max, d_max)
-                tx_p = jnp.clip(tx_p, -d_max, d_max)
+                ].astype(jnp.float32)
+                ty_p = jnp.clip(ty_p.astype(jnp.float32), -d_max, d_max)
+                tx_p = jnp.clip(tx_p.astype(jnp.float32), -d_max, d_max)
                 wy_p = jnp.maximum(
                     0.0, 1.0 - jnp.abs(ty_p - dy.astype(jnp.float32))
                 ) * m_p  # (G, TRWP)
@@ -241,7 +247,9 @@ def deform_conv2d_windowed_bwd_pallas(
         a = jnp.pad(
             arr, ((0, 0), (margin, margin), (margin, pad_right), (0, 0))
         )
-        flat = a.transpose(0, 3, 1, 2).astype(jnp.float32)  # (N, ch, H+2M, LANE)
+        flat = a.transpose(0, 3, 1, 2)  # (N, ch, H+2M, LANE); input dtype
+        # (bf16 in the flagship model: halves the halo-duplication copies;
+        # the kernels convert per-tile at the slice sites)
         blocks = [
             flat[:, :, i * tr : i * tr + thw_rows, :].reshape(
                 n, 1, channels, thw_rows * LANE
@@ -277,10 +285,7 @@ def deform_conv2d_windowed_bwd_pallas(
     # non-halo (block-rows) stagings for the fwd-side kernel
     def stage_blocks(arr, channels):
         a = jnp.pad(arr, ((0, 0), (0, 0), (margin, pad_right), (0, 0)))
-        return (
-            a.transpose(0, 3, 1, 2).reshape(n, channels, h * LANE)
-            .astype(jnp.float32)
-        )
+        return a.transpose(0, 3, 1, 2).reshape(n, channels, h * LANE)
 
     off_blk = stage_blocks(off_r, 2 * g * k)
     msk_blk = stage_blocks(msk_r, g * k)

@@ -105,3 +105,27 @@ def test_runner_train_then_eval(tmp_path):
     # output-dir naming contract: OUTPUT_DIR/EXPERIMENT/dataset-tag/hyper
     assert "smoke" in cfg.OUTPUT_DIR and "PoseTrack17" in cfg.OUTPUT_DIR
     assert "bbox_1.25" in cfg.OUTPUT_DIR
+
+
+@pytest.mark.slow
+def test_runner_train_then_eval_device_crop(tmp_path):
+    """Same Runner smoke, with TPU.DEVICE_CROP: the trainer/evaluator must
+    dispatch to the on-device crop-warp batch prep."""
+    root = str(tmp_path)
+    _, img_dir = make_posetrack_fixture(root, n_videos=1, n_frames=4,
+                                        people_per_frame=1)
+    cfg = _tiny_cfg(root, img_dir)
+    cfg.TPU.DEVICE_CROP = True
+    cfg.TPU.DEVICE_CROP_CANVAS = [192, 192]
+    annot_dir = _write_gt_annolists(root, img_dir, cfg)
+    cfg.VAL.ANNOT_DIR = annot_dir
+    cfg.VAL.USE_GT_BBOX = True
+
+    from fami_pose_tpu.engine.runner import Runner
+
+    runner = Runner(cfg)
+    results = runner.launch(train=True, val=True)
+    assert int(results["train"].step) > 0
+    (path, tables), = results["val"].items()
+    name_value, mean = tables["final"]
+    assert np.isfinite(mean)
