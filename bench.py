@@ -9,7 +9,7 @@ full model (shared backbone pass over 5 frames + alignment head + decode-ready
 heatmaps), i.e. the eval-path forward of the flagship config
 (configs/Alignment/posetrack17 equivalent).
 
-Env knobs: BENCH_BATCH (default 8), BENCH_ITERS (default 20), BENCH_DTYPE
+Env knobs: BENCH_BATCH (default 128), BENCH_ITERS (default 20), BENCH_DTYPE
 (bfloat16|float32).
 """
 
@@ -32,7 +32,7 @@ BASELINE_CLIPS_PER_SEC = 500.0
 
 
 def main():
-    batch = int(os.environ.get("BENCH_BATCH", "64"))
+    batch = int(os.environ.get("BENCH_BATCH", "128"))
     iters = int(os.environ.get("BENCH_ITERS", "20"))
     dtype = (
         jnp.float32
