@@ -58,6 +58,9 @@ def get_default_cfg() -> CfgNode:
             "PREFETCH_DEPTH": 2,
             "DONATE_TRAIN_STATE": True,
             "USE_PALLAS_DCN": True,
+            # offset/mask convs emit the Pallas staging layout directly
+            # (kernel-major NCHW), skipping the DCN prep transposes
+            "DCN_AUX_CHANNEL_FIRST": True,
             # bounded-offset window for the gather-free deformable conv;
             # None/0 selects the exact (slow) gather path
             "DCN_MAX_OFFSET": 6,

@@ -48,6 +48,61 @@ DCN_DILATION = 3
 DCN_OFFSET_GROUPS = 12
 
 
+class _CFConvParams(nn.Module):
+    """Conv emitting NCHW with output channels permuted at call time.
+
+    Parameters live under this module's scope as ``kernel``/``bias`` with
+    the CANONICAL ([g][k][(dy,dx)]) output order — identical tree and init
+    to the ``nn.Conv`` inside :class:`ConvBnAct`, so checkpoints and the
+    reference remap are layout-independent of ``aux_channel_first``."""
+
+    features: int
+    kernel_size: int
+    padding: int
+    dilation: int
+    perm: Any
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel_size
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (k, k, x.shape[-1], self.features), jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        perm = jnp.asarray(self.perm)
+        p, d = self.padding, self.dilation
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            kernel[..., perm].astype(self.dtype),
+            (1, 1), [(p, p), (p, p)], rhs_dilation=(d, d),
+            dimension_numbers=("NHWC", "HWIO", "NCHW"),
+        )
+        return y + bias[perm][None, :, None, None].astype(self.dtype)
+
+
+class ChannelFirstAuxConv(nn.Module):
+    """Wrapper giving the ``<name>/conv/{kernel,bias}`` param path that
+    ``ConvBnAct`` produces (``has_bn=False, has_act=False`` case)."""
+
+    features: int
+    kernel_size: int
+    padding: int
+    dilation: int
+    perm: Any
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return _CFConvParams(
+            self.features, self.kernel_size, self.padding, self.dilation,
+            self.perm, dtype=self.dtype, name="conv",
+        )(x)
+
+
 class DeformConv(nn.Module):
     """Learnable-weight modulated deformable conv (torchvision
     ``DeformConv2d`` equivalent: weight + bias; offsets/mask are inputs)."""
@@ -62,6 +117,9 @@ class DeformConv(nn.Module):
     # gather-based implementation
     max_offset: Any = 6
     use_pallas: bool = False
+    # offsets/mask arrive (N, 2GK/GK, H, W) kernel-major (Pallas-staging
+    # layout; skips the 6-D transpose relayouts in the DCN prep)
+    aux_channel_first: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -90,8 +148,10 @@ class DeformConv(nn.Module):
                 offset_groups=self.offset_groups,
                 max_offset=int(self.max_offset),
                 use_pallas=self.use_pallas,
+                aux_channel_first=self.aux_channel_first,
             )
             return fn(*args)
+        assert not self.aux_channel_first
         return deform_conv2d(
             *args,
             stride=1,
@@ -138,6 +198,9 @@ class FAMIPose(nn.Module):
     dcn_offset_groups: int = DCN_OFFSET_GROUPS
     dcn_max_offset: Any = 6
     use_pallas_dcn: bool = False
+    # emit offset/mask convs in the Pallas kernel-major NCHW layout
+    # (skips the DCN prep's 6-D transpose relayouts; fast path only)
+    dcn_aux_channel_first: bool = True
     # jax.checkpoint each backbone stage module: the (N+1)-frame HRNet
     # activations dominate training HBM (29.5 GB unrematted at batch 8)
     remat_backbone: bool = False
@@ -177,6 +240,9 @@ class FAMIPose(nn.Module):
             dcn_offset_groups=groups,
             dcn_max_offset=max_off,
             use_pallas_dcn=bool(cfg.TPU.USE_PALLAS_DCN),
+            dcn_aux_channel_first=bool(
+                getattr(cfg.TPU, "DCN_AUX_CHANNEL_FIRST", True)
+            ),
             remat_backbone=bool(cfg.TPU.REMAT_BACKBONE),
         )
 
@@ -231,23 +297,50 @@ class FAMIPose(nn.Module):
             c, num_blocks=1, dtype=self.dtype, name="combined_feat_layers"
         )(jnp.concatenate([agg_sup, kf_feat], axis=-1), train)
 
+        # channel-first auxiliaries: the offset/mask convs emit the Pallas
+        # staging layout directly (valid only on the fused-kernel fast path)
+        aux_cf = bool(
+            self.use_pallas_dcn
+            and self.dcn_aux_channel_first
+            and self.dcn_max_offset is not None
+        )
+        if aux_cf:
+            from fami_pose_tpu.ops.deform_conv import aux_cf_perms
+
+            off_perm, msk_perm = aux_cf_perms(
+                DCN_KERNEL * DCN_KERNEL, self.dcn_offset_groups
+            )
+
         def dcn_stage(idx, feat_in, target):
             n_off = 2 * DCN_KERNEL * DCN_KERNEL * self.dcn_offset_groups
             n_mask = DCN_KERNEL * DCN_KERNEL * self.dcn_offset_groups
-            off = ConvBnAct(
-                n_off, kernel_size=3, stride=1, padding=DCN_DILATION,
-                dilation=DCN_DILATION, has_bn=False, has_act=False,
-                dtype=self.dtype, name=f"dcn_offset_{idx}",
-            )(feat_in, train)
-            msk = ConvBnAct(
-                n_mask, kernel_size=3, stride=1, padding=DCN_DILATION,
-                dilation=DCN_DILATION, has_bn=False, has_act=False,
-                dtype=self.dtype, name=f"dcn_mask_{idx}",
-            )(feat_in, train)
+            if aux_cf:
+                off = ChannelFirstAuxConv(
+                    n_off, kernel_size=3, padding=DCN_DILATION,
+                    dilation=DCN_DILATION, perm=off_perm, dtype=self.dtype,
+                    name=f"dcn_offset_{idx}",
+                )(feat_in)
+                msk = ChannelFirstAuxConv(
+                    n_mask, kernel_size=3, padding=DCN_DILATION,
+                    dilation=DCN_DILATION, perm=msk_perm, dtype=self.dtype,
+                    name=f"dcn_mask_{idx}",
+                )(feat_in)
+            else:
+                off = ConvBnAct(
+                    n_off, kernel_size=3, stride=1, padding=DCN_DILATION,
+                    dilation=DCN_DILATION, has_bn=False, has_act=False,
+                    dtype=self.dtype, name=f"dcn_offset_{idx}",
+                )(feat_in, train)
+                msk = ConvBnAct(
+                    n_mask, kernel_size=3, stride=1, padding=DCN_DILATION,
+                    dilation=DCN_DILATION, has_bn=False, has_act=False,
+                    dtype=self.dtype, name=f"dcn_mask_{idx}",
+                )(feat_in, train)
             return DeformConv(
                 c, offset_groups=self.dcn_offset_groups,
                 max_offset=self.dcn_max_offset,
-                use_pallas=self.use_pallas_dcn, dtype=self.dtype,
+                use_pallas=self.use_pallas_dcn,
+                aux_channel_first=aux_cf, dtype=self.dtype,
                 name=f"dcn_{idx}",
             )(target, off, msk)
 

@@ -160,6 +160,24 @@ def deform_conv2d(
     return out
 
 
+def aux_cf_perms(kernel_taps: int, offset_groups: int):
+    """Output-channel permutations for channel-first DCN auxiliaries.
+
+    The offset/mask convs canonically emit torchvision's [g][k][(dy,dx)] /
+    [g][k] channel order (what :func:`deform_conv2d` consumes). The Pallas
+    kernels stage the kernel-major order [k][(dy,dx)][g] / [k][g]; applying
+    these permutations to the producing convs' *output channels* (weight
+    columns + bias) makes them emit that order directly, so the DCN prep
+    needs no channel transpose. ``perm[new_position] = old_channel``.
+    """
+    import numpy as np
+
+    k, g = int(kernel_taps), int(offset_groups)
+    off = np.arange(g * k * 2).reshape(g, k, 2)
+    msk = np.arange(g * k).reshape(g, k)
+    return off.transpose(1, 2, 0).reshape(-1), msk.transpose(1, 0).reshape(-1)
+
+
 def deform_conv2d_output_size(in_size, kernel, stride, padding, dilation):
     """Conv output spatial size (same formula as torch)."""
     return (in_size + 2 * padding - dilation * (kernel - 1) - 1) // stride + 1

@@ -563,7 +563,8 @@ def _dcn_kernel_v3(
 @functools.partial(
     jax.jit,
     static_argnames=("padding", "dilation", "offset_groups", "max_offset",
-                     "row_block", "interpret", "kernel_version"),
+                     "row_block", "interpret", "kernel_version",
+                     "aux_channel_first"),
 )
 def deform_conv2d_pallas(
     x,
@@ -579,11 +580,13 @@ def deform_conv2d_pallas(
     row_block: int = 16,
     interpret: bool = None,
     kernel_version: int = 3,
+    aux_channel_first: bool = False,
 ):
     """Drop-in fused equivalent of ``deform_conv2d_windowed`` (stride 1)."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     if int(kernel_version) == 6:
+        assert not aux_channel_first, "v6 supports NHWC aux only"
         return _deform_conv2d_pallas_v6(
             x, offset, mask, weight, bias, padding=padding, dilation=dilation,
             offset_groups=offset_groups, max_offset=max_offset,
@@ -620,21 +623,35 @@ def deform_conv2d_pallas(
     )
     x_flat = x_pad.transpose(0, 3, 1, 2).reshape(n, c, hp * LANE)
 
-    # offsets (N,H,W,2GK) with channel order [g][k][dy/dx] -> [k][dy/dx][g]
-    off = offset.reshape(n, h, w, g, k, 2).transpose(0, 4, 5, 3, 1, 2)
-    off = off.reshape(n, 2 * g * k, h, w)
-    off = jnp.pad(off, ((0, 0), (0, 0), (0, 0), (margin, pad_right)))
-    # keep the input dtype (bf16 in the flagship): the padded/transposed
-    # staging copies halve, and the kernels convert per-(G,128) tile
-    off_flat = off.reshape(n, 2 * g * k, h * LANE)
-
-    if mask is None:
-        msk = jnp.ones((n, h, w, g, k), x.dtype)
+    if aux_channel_first:
+        # offsets/mask arrive (N, 2GK, H, W) / (N, GK, H, W) already in the
+        # kernel-major [k][dy/dx][g] channel order (the producing convs fold
+        # the permutation into their weights — ops.deform_conv.aux_cf_perms):
+        # staging is just a lane pad, no 6-D transpose relayout
+        off = jnp.pad(offset, ((0, 0), (0, 0), (0, 0), (margin, pad_right)))
+        off_flat = off.reshape(n, 2 * g * k, h * LANE)
+        if mask is None:
+            msk = jnp.ones((n, g * k, h, w), x.dtype)
+        else:
+            msk = mask
+        msk = jnp.pad(msk, ((0, 0), (0, 0), (0, 0), (margin, pad_right)))
+        msk_flat = msk.reshape(n, g * k, h * LANE)
     else:
-        msk = mask.reshape(n, h, w, g, k)
-    msk = msk.transpose(0, 4, 3, 1, 2).reshape(n, g * k, h, w)
-    msk = jnp.pad(msk, ((0, 0), (0, 0), (0, 0), (margin, pad_right)))
-    msk_flat = msk.reshape(n, g * k, h * LANE)
+        # offsets (N,H,W,2GK), channel order [g][k][dy/dx] -> [k][dy/dx][g]
+        off = offset.reshape(n, h, w, g, k, 2).transpose(0, 4, 5, 3, 1, 2)
+        off = off.reshape(n, 2 * g * k, h, w)
+        off = jnp.pad(off, ((0, 0), (0, 0), (0, 0), (margin, pad_right)))
+        # keep the input dtype (bf16 in the flagship): the padded/transposed
+        # staging copies halve, and the kernels convert per-(G,128) tile
+        off_flat = off.reshape(n, 2 * g * k, h * LANE)
+
+        if mask is None:
+            msk = jnp.ones((n, h, w, g, k), x.dtype)
+        else:
+            msk = mask.reshape(n, h, w, g, k)
+        msk = msk.transpose(0, 4, 3, 1, 2).reshape(n, g * k, h, w)
+        msk = jnp.pad(msk, ((0, 0), (0, 0), (0, 0), (margin, pad_right)))
+        msk_flat = msk.reshape(n, g * k, h * LANE)
 
     w_k = weight.reshape(k, c, c_out)[:, perm, :]
 
@@ -700,11 +717,17 @@ def _best_row_block(h: int, target: int = 16) -> int:
 
 def make_deform_conv_fn(
     *, padding: int, dilation: int, offset_groups: int, max_offset: int,
-    use_pallas: bool,
+    use_pallas: bool, aux_channel_first: bool = False,
 ):
     """Factory returning a differentiable DCN: fused Pallas forward with the
     XLA windowed implementation as the backward (they compute the same
-    function, so the VJP is exact)."""
+    function, so the VJP is exact).
+
+    With ``aux_channel_first`` the offsets/mask arguments are (N, 2GK, H, W)
+    / (N, GK, H, W) in kernel-major channel order — the layout the Pallas
+    kernels stage to — skipping the 6-D transpose relayouts on both the
+    forward and backward prep (only valid with ``use_pallas``).
+    """
     from fami_pose_tpu.ops.deform_conv import deform_conv2d_windowed
 
     def windowed(x, offset, mask, weight, bias):
@@ -714,6 +737,8 @@ def make_deform_conv_fn(
         )
 
     if not use_pallas:
+        assert not aux_channel_first, "channel-first aux requires the " \
+            "Pallas path"
         return windowed
 
     @jax.custom_vjp
@@ -722,6 +747,7 @@ def make_deform_conv_fn(
             x, offset, mask, weight, bias, padding=padding, dilation=dilation,
             offset_groups=offset_groups, max_offset=max_offset,
             row_block=_best_row_block(x.shape[1]),
+            aux_channel_first=aux_channel_first,
         )
 
     def fwd(x, offset, mask, weight, bias):
@@ -742,6 +768,7 @@ def make_deform_conv_fn(
             row_block=_best_row_block(
                 x.shape[1], target=8 if max_offset <= 4 else 4
             ),
+            aux_channel_first=aux_channel_first,
         )
         if bias is None:
             db = None

@@ -206,11 +206,12 @@ def _bwd_dx_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("padding", "dilation", "offset_groups", "max_offset",
-                     "row_block", "interpret"),
+                     "row_block", "interpret", "aux_channel_first"),
 )
 def deform_conv2d_windowed_bwd_pallas(
     x, offset, mask, weight, gout, *, padding=3, dilation=3,
     offset_groups=12, max_offset=4, row_block=16, interpret=None,
+    aux_channel_first: bool = False,
 ):
     """Gradients (dx, doffset, dmask, dweight, dbias) of the windowed DCN."""
     if interpret is None:
@@ -242,14 +243,13 @@ def deform_conv2d_windowed_bwd_pallas(
     thw_rows = tr + 2 * margin
 
     def stage_halo(arr, channels):
-        """(N, H, W, ch) -> (N, RB, ch, (tr+2M)*LANE): per-row-block halo
-        copies (overlap duplicated in HBM so kernel blocks tile cleanly)."""
-        a = jnp.pad(
-            arr, ((0, 0), (margin, margin), (margin, pad_right), (0, 0))
-        )
-        flat = a.transpose(0, 3, 1, 2)  # (N, ch, H+2M, LANE); input dtype
-        # (bf16 in the flagship model: halves the halo-duplication copies;
-        # the kernels convert per-tile at the slice sites)
+        """(N, ch, H, W) -> (N, RB, ch, (tr+2M)*LANE): per-row-block halo
+        copies (overlap duplicated in HBM so kernel blocks tile cleanly).
+        Arrays keep their input dtype (bf16 in the flagship model: halves
+        the halo-duplication copies; the kernels convert per-tile)."""
+        flat = jnp.pad(
+            arr, ((0, 0), (0, 0), (margin, margin), (margin, pad_right))
+        )  # (N, ch, H+2M, LANE)
         blocks = [
             flat[:, :, i * tr : i * tr + thw_rows, :].reshape(
                 n, 1, channels, thw_rows * LANE
@@ -258,20 +258,26 @@ def deform_conv2d_windowed_bwd_pallas(
         ]
         return jnp.concatenate(blocks, axis=1)
 
-    off_r = offset.reshape(n, h, w, g, k, 2).transpose(0, 4, 5, 3, 1, 2)
-    off_r = off_r.reshape(n, 2 * g * k, h, w).transpose(0, 2, 3, 1)
-    off_halo = stage_halo(off_r, 2 * g * k)
-
-    if mask is None:
-        msk_r = jnp.ones((n, h, w, g * k), x.dtype)
-    else:
+    if aux_channel_first:
+        # offsets/mask already (N, 2GK/GK, H, W), kernel-major channel order
+        off_r = offset
         msk_r = (
-            mask.reshape(n, h, w, g, k).transpose(0, 4, 3, 1, 2)
-            .reshape(n, g * k, h, w).transpose(0, 2, 3, 1)
+            jnp.ones((n, g * k, h, w), x.dtype) if mask is None else mask
         )
+    else:
+        off_r = offset.reshape(n, h, w, g, k, 2).transpose(0, 4, 5, 3, 1, 2)
+        off_r = off_r.reshape(n, 2 * g * k, h, w)
+        if mask is None:
+            msk_r = jnp.ones((n, g * k, h, w), x.dtype)
+        else:
+            msk_r = (
+                mask.reshape(n, h, w, g, k).transpose(0, 4, 3, 1, 2)
+                .reshape(n, g * k, h, w)
+            )
+    off_halo = stage_halo(off_r, 2 * g * k)
     msk_halo = stage_halo(msk_r, g * k)
 
-    gout_halo = stage_halo(gout, c_out)
+    gout_halo = stage_halo(gout.transpose(0, 3, 1, 2), c_out)
 
     w_k = weight.reshape(k, c, c_out)[:, perm, :].astype(jnp.float32)
 
@@ -284,12 +290,12 @@ def deform_conv2d_windowed_bwd_pallas(
 
     # non-halo (block-rows) stagings for the fwd-side kernel
     def stage_blocks(arr, channels):
-        a = jnp.pad(arr, ((0, 0), (0, 0), (margin, pad_right), (0, 0)))
-        return a.transpose(0, 3, 1, 2).reshape(n, channels, h * LANE)
+        a = jnp.pad(arr, ((0, 0), (0, 0), (0, 0), (margin, pad_right)))
+        return a.reshape(n, channels, h * LANE)
 
     off_blk = stage_blocks(off_r, 2 * g * k)
     msk_blk = stage_blocks(msk_r, g * k)
-    gout_blk = stage_blocks(gout, c_out)
+    gout_blk = stage_blocks(gout.transpose(0, 3, 1, 2), c_out)
     thw = thw_rows * LANE
     doff_f, dmsk_f, dw = pl.pallas_call(
         kernel_fwdside,
@@ -346,16 +352,28 @@ def deform_conv2d_windowed_bwd_pallas(
         return out.transpose(0, 2, 3, 1)
 
     dx = unstage(dx_f, c)[..., inv_perm].astype(x.dtype)
-    doff_r = unstage(doff_f, 2 * g * k)  # (N,H,W, [k][dyx][g])
-    doff = (
-        doff_r.reshape(n, h, w, k, 2, g).transpose(0, 1, 2, 5, 3, 4)
-        .reshape(n, h, w, 2 * g * k).astype(offset.dtype)
-    )
-    dmsk_r = unstage(dmsk_f, g * k)  # [k][g]
-    dmsk = (
-        dmsk_r.reshape(n, h, w, k, g).transpose(0, 1, 2, 4, 3)
-        .reshape(n, h, w, g * k).astype(offset.dtype)
-    )
+    if aux_channel_first:
+        # cotangents in the primal (N, ch, H, W) kernel-major layout:
+        # just the lane un-pad, no transposes
+        doff = (
+            doff_f.reshape(n, 2 * g * k, h, LANE)[..., margin : margin + w]
+            .astype(offset.dtype)
+        )
+        dmsk = (
+            dmsk_f.reshape(n, g * k, h, LANE)[..., margin : margin + w]
+            .astype(offset.dtype)
+        )
+    else:
+        doff_r = unstage(doff_f, 2 * g * k)  # (N,H,W, [k][dyx][g])
+        doff = (
+            doff_r.reshape(n, h, w, k, 2, g).transpose(0, 1, 2, 5, 3, 4)
+            .reshape(n, h, w, 2 * g * k).astype(offset.dtype)
+        )
+        dmsk_r = unstage(dmsk_f, g * k)  # [k][g]
+        dmsk = (
+            dmsk_r.reshape(n, h, w, k, g).transpose(0, 1, 2, 4, 3)
+            .reshape(n, h, w, g * k).astype(offset.dtype)
+        )
     dweight = dw[:, inv_perm, :].reshape(kh, kw, c, c_out).astype(weight.dtype)
     dbias = jnp.sum(gout.astype(jnp.float32), axis=(0, 1, 2)).astype(
         weight.dtype

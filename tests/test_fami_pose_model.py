@@ -151,3 +151,33 @@ def test_init_weights_reference(model_and_vars):
     )
     assert bool(jnp.array_equal(p2["dcn_1"]["kernel"], v["params"]["dcn_1"]["kernel"]))
     assert float(jnp.abs(p2["agg_final_layer"]["bias"]).max()) == 0.0
+
+
+def test_aux_channel_first_model_equivalence(rng):
+    """FAMIPose with channel-first DCN auxiliaries computes the same eval
+    function as the NHWC layout (same canonical params, different staging)."""
+    import jax
+    import jax.numpy as jnp
+
+    from fami_pose_tpu.models.fami_pose import FAMIPose
+    from fami_pose_tpu.models.hrnet import TINY_EXTRA
+
+    kw = dict(
+        extra=TINY_EXTRA, num_joints=17, feat_channels=8,
+        dcn_offset_groups=4, dcn_max_offset=2, use_pallas_dcn=True,
+    )
+    m_cf = FAMIPose(dcn_aux_channel_first=True, **kw)
+    m_ref = FAMIPose(dcn_aux_channel_first=False, **kw)
+    kf = jnp.asarray(rng.rand(2, 64, 64, 3), jnp.float32)
+    sup = jnp.asarray(rng.rand(2, 64, 64, 12), jnp.float32)
+    v = m_cf.init(jax.random.PRNGKey(3), kf, sup, train=False)
+    # identical param trees: canonical layout is shared
+    v2 = m_ref.init(jax.random.PRNGKey(3), kf, sup, train=False)
+    assert jax.tree.structure(v) == jax.tree.structure(v2)
+
+    f_cf, bb_cf = m_cf.apply(v, kf, sup, train=False)
+    f_ref, bb_ref = m_ref.apply(v, kf, sup, train=False)
+    np.testing.assert_allclose(
+        np.asarray(f_cf), np.asarray(f_ref), rtol=2e-5, atol=2e-5
+    )
+    np.testing.assert_allclose(np.asarray(bb_cf), np.asarray(bb_ref))

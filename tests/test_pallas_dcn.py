@@ -82,3 +82,58 @@ def test_factory_windowed_passthrough(rng):
         x, off, msk, wgt, bias, padding=3, dilation=3, max_offset=2
     )
     np.testing.assert_allclose(np.asarray(fn(x, off, msk, wgt, bias)), np.asarray(ref))
+
+
+def _to_cf(off, msk, g, k=9):
+    """NHWC [g][k][*]-ordered aux -> (N, ch, H, W) kernel-major."""
+    n, h, w, _ = off.shape
+    off_cf = (
+        off.reshape(n, h, w, g, k, 2).transpose(0, 4, 5, 3, 1, 2)
+        .reshape(n, 2 * g * k, h, w)
+    )
+    msk_cf = (
+        msk.reshape(n, h, w, g, k).transpose(0, 4, 3, 1, 2)
+        .reshape(n, g * k, h, w)
+    )
+    return off_cf, msk_cf
+
+
+def test_aux_channel_first_matches_nhwc(rng):
+    x, off, msk, wgt, bias = _inputs(rng)
+    ref = deform_conv2d_pallas(
+        x, off, msk, wgt, bias, padding=3, dilation=3,
+        offset_groups=2, max_offset=2, row_block=8,
+    )
+    off_cf, msk_cf = _to_cf(np.asarray(off), np.asarray(msk), g=2)
+    got = deform_conv2d_pallas(
+        x, jnp.asarray(off_cf), jnp.asarray(msk_cf), wgt, bias,
+        padding=3, dilation=3, offset_groups=2, max_offset=2, row_block=8,
+        aux_channel_first=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_aux_channel_first_gradients(rng):
+    """custom_vjp grads through the channel-first layout == windowed grads
+    (chain rule through the layout conversion is exact)."""
+    x, off, msk, wgt, bias = _inputs(rng, n=1, h=16, w=16)
+    fn_cf = make_deform_conv_fn(
+        padding=3, dilation=3, offset_groups=2, max_offset=2,
+        use_pallas=True, aux_channel_first=True,
+    )
+
+    def loss_cf(off_nhwc):
+        off_cf, msk_cf = _to_cf(off_nhwc, msk, g=2)
+        return jnp.sum(fn_cf(x, off_cf, msk_cf, wgt, bias) ** 2)
+
+    def loss_ref(off_nhwc):
+        return jnp.sum(
+            deform_conv2d_windowed(
+                x, off_nhwc, msk, wgt, bias, padding=3, dilation=3,
+                max_offset=2,
+            ) ** 2
+        )
+
+    g = jax.grad(loss_cf)(off)
+    g_ref = jax.grad(loss_ref)(off)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), rtol=1e-3, atol=1e-4)
