@@ -302,3 +302,32 @@ def test_differential_ap_vs_vendored():
     np.testing.assert_allclose(ap_mine, ap_ref, atol=1e-8)
     np.testing.assert_allclose(pre_mine, pre_ref, atol=1e-8)
     np.testing.assert_allclose(rec_mine, rec_ref, atol=1e-8)
+
+
+def test_mot_accumulator_matches_reference_motmetrics_golden():
+    """The exact event sequence + expected values from the reference's
+    vendored py-motmetrics test suite (``py-motmetrics/motmetrics/tests/
+    test_mot.py::test_events``): FP-only frame, miss-only frame, match,
+    forced switch, history-preference over a better new match. Expected:
+    events (2 FP, 2 MISS, 4 MATCH incl. history-preferred, 2 SWITCH),
+    MOTP = 11.1/6, MOTA = 1 - 6/8."""
+    acc = MOTAccumulatorLite()
+    acc.update([], ["a", "b"], np.zeros((0, 2)))                 # all FP
+    acc.update([1, 2], [], np.zeros((2, 0)))                      # all miss
+    acc.update([1, 2], ["a", "b"], np.array([[1.0, 0.5], [0.3, 1.0]]))
+    acc.update([1, 2], ["a", "b"],
+               np.array([[0.2, np.nan], [np.nan, 0.1]]))          # switches
+    acc.update([1, 2], ["a", "b"], np.array([[5.0, 1.0], [1.0, 5.0]]))
+    acc.update([], [], np.zeros((0, 0)))                          # no data
+
+    assert acc.num_false_positives == 2
+    assert acc.num_misses == 2
+    assert acc.num_switches == 2
+    assert acc.num_matches == 4
+    assert acc.num_objects == 8
+    # MOTP = sum of pairing distances / num detections = 11.1 / 6
+    motp = acc.sum_d / acc.num_detections
+    np.testing.assert_allclose(motp, 11.1 / 6)
+    mota = 1.0 - (acc.num_misses + acc.num_false_positives +
+                  acc.num_switches) / acc.num_objects
+    np.testing.assert_allclose(mota, 1.0 - 6.0 / 8.0)
