@@ -1,5 +1,7 @@
 """PoseTrack dataset + loader tests on a synthetic fixture."""
 
+import os.path as osp
+
 import numpy as np
 import pytest
 
@@ -168,3 +170,46 @@ def test_single_frame_input_type(fixture_pt17):
     np.testing.assert_array_equal(s["sup"][..., :3], s["kf"])
     np.testing.assert_array_equal(s["sup"][..., 3:6], s["kf"])
     cfg.DATASET.INPUT_TYPE = ""
+
+
+def test_detection_box_path(tmp_path):
+    """VAL.USE_GT_BBOX=False: precomputed detector boxes with IMAGE_THRE
+    filtering (reference PoseTrack_Alignment.py:830-881)."""
+    import json
+
+    root = str(tmp_path)
+    _, img_dir = make_posetrack_fixture(root, n_videos=1, n_frames=4,
+                                        people_per_frame=1)
+    dets = []
+    for f in range(1, 5):
+        name = f"video_0000/{f:08d}.jpg"
+        dets.append({"category_id": 1, "score": 0.9,
+                     "bbox": [40.0, 30.0, 60.0, 80.0], "image_name": name,
+                     "nframes": 4, "frame_id": f})
+        # below IMAGE_THRE -> dropped
+        dets.append({"category_id": 1, "score": 0.05,
+                     "bbox": [10.0, 10.0, 30.0, 40.0], "image_name": name,
+                     "nframes": 4, "frame_id": f})
+        # non-person -> dropped
+        dets.append({"category_id": 2, "score": 0.95,
+                     "bbox": [1.0, 1.0, 20.0, 20.0], "image_name": name,
+                     "nframes": 4, "frame_id": f})
+    det_path = osp.join(root, "dets.json")
+    with open(det_path, "w") as fh:
+        json.dump(dets, fh)
+
+    cfg = make_cfg(osp.join(root, "json"), img_dir)
+    cfg.VAL.USE_GT_BBOX = False
+    cfg.VAL.COCO_BBOX_FILE = det_path
+    cfg.VAL.IMAGE_THRE = 0.2
+    ds = PoseTrackDataset(cfg, "validate")
+    assert len(ds) == 4  # one surviving detection per frame
+
+    s = ds[0]
+    assert s["kf"].shape[-1] == 3 and s["sup"].shape[-1] == 3 * 4
+    assert float(s["score"]) == pytest.approx(0.9)
+    # detection entries carry dummy all-zero joints; after the crop warp the
+    # out-of-crop dummies get their visibility masked — eval ignores GT
+    # joints in detection mode, it only needs center/scale/score
+    assert np.isfinite(s["joints"]).all()
+    np.testing.assert_allclose(s["center"], [40.0 + 30.0, 30.0 + 40.0])
