@@ -764,7 +764,9 @@ def make_deform_conv_fn(
             offset_groups=offset_groups, max_offset=max_offset,
             # smaller row block: the backward holds halo copies of
             # gout/offsets/mask plus the shift-adjoint scratch in VMEM;
-            # shrink further for wide windows (halo rows = tr + 2*(D+4))
+            # shrink further for wide windows (halo rows = tr + 2*(D+4)).
+            # (tr=16 compiles with the bf16 staging but measured SLOWER:
+            # 524.5 vs 514.4 ms/step at batch 8 — VMEM pressure wins.)
             row_block=_best_row_block(
                 x.shape[1], target=8 if max_offset <= 4 else 4
             ),

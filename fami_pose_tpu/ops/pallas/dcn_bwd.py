@@ -320,8 +320,11 @@ def deform_conv2d_windowed_bwd_pallas(
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n, 2 * g * k, h * LANE), jnp.float32),
-            jax.ShapeDtypeStruct((n, g * k, h * LANE), jnp.float32),
+            # doff/dmask in the offset dtype (bf16 in the flagship): the
+            # final grads are cast there anyway, and the f32 output blocks
+            # were what pushed the tr=16 kernel over the VMEM limit
+            jax.ShapeDtypeStruct((n, 2 * g * k, h * LANE), offset.dtype),
+            jax.ShapeDtypeStruct((n, g * k, h * LANE), offset.dtype),
             jax.ShapeDtypeStruct((k, c, c_out), jnp.float32),
         ],
         interpret=bool(interpret),
