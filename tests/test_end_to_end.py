@@ -129,3 +129,47 @@ def test_runner_train_then_eval_device_crop(tmp_path):
     (path, tables), = results["val"].items()
     name_value, mean = tables["final"]
     assert np.isfinite(mean)
+
+
+@pytest.mark.slow
+def test_runner_test_phase(tmp_path):
+    """--test phase: Evaluator built from cfg.TEST (reference runner.py:59-66
+    dispatch order train -> val -> test)."""
+    root = str(tmp_path)
+    _, img_dir = make_posetrack_fixture(root, n_videos=1, n_frames=4,
+                                        people_per_frame=1)
+    cfg = _tiny_cfg(root, img_dir)
+    annot_dir = _write_gt_annolists(root, img_dir, cfg)
+    cfg.TEST.ANNOT_DIR = annot_dir
+    cfg.TEST.USE_GT_BBOX = True
+    cfg.TEST.BATCH_SIZE_PER_GPU = 4
+
+    from fami_pose_tpu.engine.runner import Runner
+
+    runner = Runner(cfg)
+
+    # seed one checkpoint for the sweep (the test phase evaluates existing
+    # checkpoints; without training there would be none)
+    import jax
+    import jax.numpy as jnp
+
+    from fami_pose_tpu.engine import checkpoints
+    from fami_pose_tpu.engine.train_state import create_train_state
+    from fami_pose_tpu.models.build import build_model
+    from fami_pose_tpu.optim import build_optimizer
+
+    model = build_model(cfg, "train")
+    tx = build_optimizer(cfg, steps_per_epoch=1)
+    state = create_train_state(
+        model, tx, jax.random.PRNGKey(0),
+        (jnp.zeros((1, 128, 96, 3)), jnp.zeros((1, 128, 96, 12))),
+    )
+    checkpoints.save_checkpoint(runner.dirs["checkpoints"], 0, state)
+
+    results = runner.launch(test=True)
+    (path, tables), = results["test"].items()
+    name_value, mean = tables["final"]
+    assert np.isfinite(mean)
+    # the test phase writes its own log file
+    import glob
+    assert glob.glob(osp.join(runner.dirs["log"], "test-*.log"))
