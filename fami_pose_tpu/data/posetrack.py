@@ -478,4 +478,17 @@ class PoseTrackDataset(VideoDataset):
                 ("Mean", table["Mean"]),
             ]
         )
+        if eval_track:
+            # surface the MOTA table alongside AP (the reference's
+            # evaluate_simple computes it when eval_track is on; its
+            # PredsAccPrinter shows AP only, so these extra keys are
+            # additive and absent in the default eval_track=False path)
+            mota = result["mota_table"]
+            for key, col in [
+                ("MOTA_Head", "Head"), ("MOTA_Shoulder", "Shou"),
+                ("MOTA_Elbow", "Elb"), ("MOTA_Wrist", "Wri"),
+                ("MOTA_Hip", "Hip"), ("MOTA_Knee", "Knee"),
+                ("MOTA_Ankle", "Ankl"), ("MOTA_Mean", "Mean"),
+            ]:
+                name_value[key] = mota[col]
         return name_value, name_value["Mean"]

@@ -141,3 +141,59 @@ def test_dataset_evaluate_missing_frames_get_dummies(tmp_path):
     ]
     assert len(dummies) == 3
     assert 0.0 <= mean <= 100.0
+
+
+def test_dataset_evaluate_with_tracking(tmp_path):
+    """eval_track=True surfaces the per-joint MOTA table alongside AP
+    (perfect predictions with consistent track ids -> MOTA 100)."""
+    root = str(tmp_path)
+    json_path, img_dir = make_posetrack_fixture(root, n_videos=1, n_frames=4)
+    cfg = make_cfg(osp.join(root, "json"), img_dir)
+    annot_dir = osp.join(root, "gt_annolist")
+    os.makedirs(annot_dir)
+    cfg.VAL.ANNOT_DIR = annot_dir
+    cfg.VAL.USE_GT_BBOX = True
+    ds = PoseTrackDataset(cfg, "validate")
+
+    rng = np.random.RandomState(0)
+    preds = []
+    img_path_map = OrderedDict()
+    video = "video_0000"
+    annolist = []
+    for f in range(1, 5):
+        img_sfx = f"images/{video}/{f:08d}.jpg"
+        joints, xy17 = _consistent_pose(rng, 30.0, 40.0 + 2 * f)
+        pts = [
+            {"id": [j], "x": [float(x)], "y": [float(y)]}
+            for j, (x, y) in joints.items()
+        ]
+        annolist.append(
+            {
+                "image": [{"name": img_sfx}],
+                "annorect": [
+                    {
+                        "x1": [0.0], "y1": [0.0], "x2": [25.0], "y2": [25.0],
+                        "track_id": [0], "score": [1.0],
+                        "annopoints": [{"point": pts}],
+                    }
+                ],
+            }
+        )
+        idx = len(preds)
+        pred = np.zeros((17, 3))
+        pred[:, :2] = xy17
+        pred[:, 2] = 0.9
+        preds.append(pred)
+        img_path_map[osp.join(img_dir, video, f"{f:08d}.jpg")] = [idx]
+    with open(osp.join(annot_dir, f"{video}.json"), "w") as fh:
+        json.dump({"annolist": annolist}, fh)
+
+    preds = np.stack(preds)
+    boxes = np.tile(np.array([[50, 50, 1, 1, 100, 0.9]]), (len(preds), 1))
+    name_value, mean = ds.evaluate(
+        cfg, preds, osp.join(root, "out_json"), boxes, img_path_map,
+        eval_track=True,
+    )
+    assert mean == pytest.approx(100.0)          # AP mean unchanged
+    assert name_value["MOTA_Mean"] == pytest.approx(100.0)
+    assert "MOTA_Head" in name_value and "MOTA_Ankle" in name_value
