@@ -308,6 +308,10 @@ def get_default_cfg() -> CfgNode:
             "SOFT_NMS": False,
             "POST_PROCESS": False,
             "FLIP": False,
+            # also run the poseval MOTA tracking protocol in evaluate()
+            # (the reference's evaluate_simple eval_track flag; its shipped
+            # loop pins it False, so False stays the default)
+            "EVAL_TRACK": False,
             flip_key: False,
         }
         return _node(d)

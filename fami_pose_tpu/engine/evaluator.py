@@ -162,8 +162,10 @@ class Evaluator:
         results = {}
         for tag, preds in (("final", all_preds), ("backbone", all_preds_bb)):
             out_dir = osp.join(self.output_dir, f"{self.phase}_{tag}_json")
+            sub = cfg.VAL if self.phase == "validate" else cfg.TEST
             name_value, mean = self.dataset.evaluate(
-                cfg, preds, out_dir, all_boxes, img_path_map
+                cfg, preds, out_dir, all_boxes, img_path_map,
+                eval_track=bool(getattr(sub, "EVAL_TRACK", False)),
             )
             self.logger.info(f"[{tag}] AP: {dict(name_value)}")
             results[tag] = (name_value, mean)
