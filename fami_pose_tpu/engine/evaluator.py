@@ -162,7 +162,7 @@ class Evaluator:
         results = {}
         for tag, preds in (("final", all_preds), ("backbone", all_preds_bb)):
             out_dir = osp.join(self.output_dir, f"{self.phase}_{tag}_json")
-            sub = cfg.VAL if self.phase == "validate" else cfg.TEST
+            sub = cfg.VAL if self.phase == VAL_PHASE else cfg.TEST
             name_value, mean = self.dataset.evaluate(
                 cfg, preds, out_dir, all_boxes, img_path_map,
                 eval_track=bool(getattr(sub, "EVAL_TRACK", False)),
