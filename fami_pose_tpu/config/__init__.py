@@ -43,6 +43,19 @@ _PATH_KEYS = [
 
 def update_config(cfg: CfgNode, args) -> CfgNode:
     cfg.defrost()
+    if getattr(args, "use_mppe_config", False):
+        # the reference switches between two default trees on this flag
+        # (posetimation/config/config.py:50-53); here ONE unified tree
+        # carries the union of both key sets, so the flag changes nothing —
+        # say so instead of silently no-opping
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "--use_mppe_config: this framework has a single unified default "
+            "tree containing the union of the reference's legacy and mppe "
+            "trees (fami_pose_tpu/config/defaults.py); the flag is accepted "
+            "for CLI compatibility but selects nothing."
+        )
     if getattr(args, "cfg", None):
         cfg.merge_from_file(args.cfg)
     opts = getattr(args, "opts", None)

@@ -313,6 +313,7 @@ class PoseTrackDataset(VideoDataset):
         if self.device_crop:
             # raw person-centered window; the crop-warp runs on device
             # (ops.warp.crop_and_warp inside the loader's jitted batch prep)
+            self._check_device_crop_extent(scale, r)
             kf, origin = self._extract_window(key_img, center)
             sups = [self._extract_window(im, center)[0] for im in sup_imgs]
             crop_center = center - origin
@@ -346,6 +347,30 @@ class PoseTrackDataset(VideoDataset):
         if self.device_crop:
             sample["crop_center"] = crop_center.astype(np.float32)
         return sample
+
+    def _check_device_crop_extent(self, scale, rotation):
+        """Warn (once) when the crop-warp's source footprint exceeds the
+        ``device_crop_canvas`` window: the host cv2 path would sample real
+        pixels there, the device path substitutes zeros (a silent train/eval
+        divergence otherwise — ADVICE r2)."""
+        if getattr(self, "_device_crop_warned", False):
+            return
+        w_src = float(scale[0]) * self.pixel_std
+        h_src = float(scale[1]) * self.pixel_std
+        rad = abs(float(rotation)) * np.pi / 180.0
+        ext_w = w_src * np.cos(rad) + h_src * np.sin(rad)
+        ext_h = w_src * np.sin(rad) + h_src * np.cos(rad)
+        ch, cw = self.device_crop_canvas
+        if ext_w > cw or ext_h > ch:
+            self._device_crop_warned = True
+            logging.getLogger(__name__).warning(
+                "TPU.DEVICE_CROP: person box source extent (%.0fx%.0f px, "
+                "rotation %.0f deg) exceeds DEVICE_CROP_CANVAS (%dx%d); "
+                "out-of-window pixels are zero-filled where the host cv2 "
+                "path samples real pixels. Raise TPU.DEVICE_CROP_CANVAS to "
+                "cover the largest augmented box.",
+                ext_w, ext_h, float(rotation), cw, ch,
+            )
 
     def _extract_window(self, img, center):
         """Paste the ``device_crop_canvas`` window centered at ``center`` into

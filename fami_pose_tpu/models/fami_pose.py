@@ -124,6 +124,12 @@ class DeformConv(nn.Module):
 
     @nn.compact
     def __call__(self, x, offset, mask):
+        # <=0 means "exact gather path", same as None (mirrors
+        # FAMIPose.from_config so direct construction can't select a
+        # degenerate d_max=0 window — ADVICE r2)
+        max_offset = self.max_offset
+        if max_offset is not None and int(max_offset) <= 0:
+            max_offset = None
         k = self.kernel_size
         kernel = self.param(
             "kernel",
@@ -139,14 +145,14 @@ class DeformConv(nn.Module):
             kernel.astype(self.dtype),
             bias.astype(self.dtype),
         )
-        if self.max_offset is not None:
+        if max_offset is not None:
             from fami_pose_tpu.ops.pallas.dcn import make_deform_conv_fn
 
             fn = make_deform_conv_fn(
                 padding=self.padding,
                 dilation=self.dilation,
                 offset_groups=self.offset_groups,
-                max_offset=int(self.max_offset),
+                max_offset=int(max_offset),
                 use_pallas=self.use_pallas,
                 aux_channel_first=self.aux_channel_first,
             )
@@ -262,6 +268,11 @@ class FAMIPose(nn.Module):
     @nn.compact
     def __call__(self, kf_x, sup_x, train: bool = False):
         c = self.feat_channels
+        # normalize <=0 -> None (exact gather path) here as well as in
+        # from_config, so direct construction behaves identically (ADVICE r2)
+        dcn_max_offset = self.dcn_max_offset
+        if dcn_max_offset is not None and int(dcn_max_offset) <= 0:
+            dcn_max_offset = None
         b = kf_x.shape[0]
         num_sup = sup_x.shape[-1] // 3
         hrnet = HRNet(
@@ -302,7 +313,7 @@ class FAMIPose(nn.Module):
         aux_cf = bool(
             self.use_pallas_dcn
             and self.dcn_aux_channel_first
-            and self.dcn_max_offset is not None
+            and dcn_max_offset is not None
         )
         if aux_cf:
             from fami_pose_tpu.ops.deform_conv import aux_cf_perms
@@ -338,7 +349,7 @@ class FAMIPose(nn.Module):
                 )(feat_in, train)
             return DeformConv(
                 c, offset_groups=self.dcn_offset_groups,
-                max_offset=self.dcn_max_offset,
+                max_offset=dcn_max_offset,
                 use_pallas=self.use_pallas_dcn,
                 aux_channel_first=aux_cf, dtype=self.dtype,
                 name=f"dcn_{idx}",

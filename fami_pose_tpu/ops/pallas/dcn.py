@@ -393,6 +393,9 @@ def _deform_conv2d_pallas_v6(
     """Prep + launch for the row-stacked kernel (stride 1, kh = kw = 3)."""
     n, h, w, c = x.shape
     kh, kw, _, c_out = weight.shape
+    # _dcn_kernel_v6's tap indexing (t = a*3 + b) hardcodes a 3x3 kernel;
+    # reject anything else rather than silently computing a wrong output
+    assert (kh, kw) == (3, 3), (kh, kw)
     k = kh * kw
     g = offset_groups
     cg = c // g

@@ -76,3 +76,26 @@ def test_clone_independent():
     c2 = cfg.clone()
     c2.TRAIN.LR = 42.0  # clone is defrosted
     assert cfg.TRAIN.LR != 42.0
+
+
+def test_use_mppe_config_warns(caplog):
+    """--use_mppe_config is a documented no-op: one unified default tree
+    subsumes the reference's two trees (config/config.py:50-53); the flag
+    must say so rather than silently changing nothing."""
+    import logging
+
+    class Args:
+        cfg = None
+        opts = None
+        root_dir = "."
+        use_mppe_config = True
+
+    with caplog.at_level(logging.WARNING, logger="fami_pose_tpu.config"):
+        get_cfg(Args())
+    assert any("use_mppe_config" in r.message for r in caplog.records)
+
+    caplog.clear()
+    Args.use_mppe_config = False
+    with caplog.at_level(logging.WARNING, logger="fami_pose_tpu.config"):
+        get_cfg(Args())
+    assert not any("use_mppe_config" in r.message for r in caplog.records)

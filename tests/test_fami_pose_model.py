@@ -181,3 +181,21 @@ def test_aux_channel_first_model_equivalence(rng):
         np.asarray(f_cf), np.asarray(f_ref), rtol=2e-5, atol=2e-5
     )
     np.testing.assert_allclose(np.asarray(bb_cf), np.asarray(bb_ref))
+
+
+def test_direct_construction_zero_max_offset_selects_exact_path(rng):
+    """dcn_max_offset=0 passed directly (not via from_config) must select the
+    exact gather path, matching dcn_max_offset=None bit-for-bit — not a
+    degenerate d_max=0 bounded window (ADVICE r2)."""
+    kf = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32))
+    sup = jnp.asarray(rng.rand(1, 64, 64, 6).astype(np.float32))
+    outs = []
+    for max_off in (0, None):
+        m = FAMIPose(
+            extra=TINY_EXTRA, num_joints=17, feat_channels=8,
+            dcn_offset_groups=4, dcn_max_offset=max_off,
+        )
+        v = m.init(jax.random.PRNGKey(0), kf, sup, train=False)
+        hm, _ = m.apply(v, kf, sup, train=False)
+        outs.append(np.asarray(hm))
+    np.testing.assert_array_equal(outs[0], outs[1])
