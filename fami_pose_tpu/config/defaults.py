@@ -77,6 +77,14 @@ def get_default_cfg() -> CfgNode:
             # (h, w) of the person-centered raw window shipped to device;
             # boxes whose source region exceeds it get zero-padded corners
             "DEVICE_CROP_CANVAS": [768, 768],
+            # int8 serving mode: per-channel-weight / per-tensor-activation
+            # PTQ of the backbone convs for eval phases (models/quant.py).
+            # NON-PARITY fast path; bf16 stays the default. Calibration runs
+            # on the first INT8_CALIB_BATCHES eval batches.
+            "INT8_EVAL": False,
+            "INT8_CALIB_BATCHES": 2,
+            # headroom factor on calibrated activation absmax
+            "INT8_CALIB_MARGIN": 1.0,
         }
     )
 

@@ -101,9 +101,56 @@ class Evaluator:
         )
         return checkpoints.load_variables(path, template)
 
+    def _prepare(self, raw):
+        """Raw loader batch -> (kf, sup) device inputs (shared by the eval
+        loop and int8 calibration)."""
+        if "crop_center" in raw:  # TPU.DEVICE_CROP: raw windows
+            from fami_pose_tpu.data.loader import (
+                prepare_eval_inputs_device_crop,
+            )
+
+            return prepare_eval_inputs_device_crop(
+                raw["kf"], raw["sup"], raw["crop_center"], raw["scale"],
+                raw["rotation"],
+                image_size=(
+                    int(self.cfg.MODEL.IMAGE_SIZE[0]),
+                    int(self.cfg.MODEL.IMAGE_SIZE[1]),
+                ),
+            )
+        return prepare_eval_inputs(raw["kf"], raw["sup"])
+
+    def _maybe_calibrate_int8(self, variables: dict) -> dict:
+        """TPU.INT8_EVAL: PTQ-calibrate activation scales on the first
+        ``TPU.INT8_CALIB_BATCHES`` eval batches (models/quant.py), then eval
+        with the resulting ``quant`` collection."""
+        if getattr(self.model, "backbone_quant", "off") != "int8":
+            return variables
+        if "quant" in variables:
+            return variables
+        from fami_pose_tpu.models.quant import calibrate
+
+        n_batches = max(1, int(getattr(self.cfg.TPU, "INT8_CALIB_BATCHES", 2)))
+        margin = float(getattr(self.cfg.TPU, "INT8_CALIB_MARGIN", 1.0))
+        cal_model = self.model.clone(backbone_quant="calibrate")
+        batches = []
+        for raw in self.loader:
+            batches.append(self._prepare(raw))
+            if len(batches) >= n_batches:
+                break
+        self.logger.info(
+            f"int8 PTQ calibration on {len(batches)} eval batches "
+            f"(margin {margin})"
+        )
+        base = {k: v for k, v in variables.items() if k != "quant"}
+        quant = calibrate(cal_model, base, batches, margin=margin, train=False)
+        out = dict(variables)
+        out["quant"] = jax.device_get(quant)
+        return out
+
     def eval_checkpoint(self, variables: dict):
         """Run the full eval loop; returns (name_value_final, name_value_bb)."""
         cfg = self.cfg
+        variables = self._maybe_calibrate_int8(variables)
         n = len(self.dataset)
         num_joints = int(cfg.MODEL.NUM_JOINTS)
         all_preds = np.zeros((n, num_joints, 3), np.float32)
@@ -115,21 +162,7 @@ class Evaluator:
         t0 = time.time()
         for raw in self.loader:
             valid = int(raw.get("valid", raw["kf"].shape[0]))
-            if "crop_center" in raw:  # TPU.DEVICE_CROP: raw windows
-                from fami_pose_tpu.data.loader import (
-                    prepare_eval_inputs_device_crop,
-                )
-
-                kf, sup = prepare_eval_inputs_device_crop(
-                    raw["kf"], raw["sup"], raw["crop_center"], raw["scale"],
-                    raw["rotation"],
-                    image_size=(
-                        int(self.cfg.MODEL.IMAGE_SIZE[0]),
-                        int(self.cfg.MODEL.IMAGE_SIZE[1]),
-                    ),
-                )
-            else:
-                kf, sup = prepare_eval_inputs(raw["kf"], raw["sup"])
+            kf, sup = self._prepare(raw)
             kf, sup = shard_batch((kf, sup), self.mesh)
             final_hm, bb_hm = self.eval_step(variables, kf, sup)
             center = raw["center"][:valid]

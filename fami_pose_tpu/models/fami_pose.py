@@ -210,6 +210,9 @@ class FAMIPose(nn.Module):
     # jax.checkpoint each backbone stage module: the (N+1)-frame HRNet
     # activations dominate training HBM (29.5 GB unrematted at batch 8)
     remat_backbone: bool = False
+    # int8 serving mode for the backbone convs ("off" | "calibrate" | "int8");
+    # non-parity eval fast path, see models/quant.py + TPU.INT8_EVAL
+    backbone_quant: str = "off"
 
     @classmethod
     def from_config(cls, cfg, phase: str = TRAIN_PHASE, **kwargs):
@@ -238,6 +241,10 @@ class FAMIPose(nn.Module):
             if hasattr(cfg.TPU, "DCN_OFFSET_GROUPS")
             else DCN_OFFSET_GROUPS
         )
+        # int8 serving mode: eval phases only (training stays bf16/f32)
+        backbone_quant = "off"
+        if bool(getattr(cfg.TPU, "INT8_EVAL", False)) and phase != TRAIN_PHASE:
+            backbone_quant = "int8"
         return cls(
             extra=extra,
             num_joints=int(cfg.MODEL.NUM_JOINTS),
@@ -250,6 +257,7 @@ class FAMIPose(nn.Module):
                 getattr(cfg.TPU, "DCN_AUX_CHANNEL_FIRST", True)
             ),
             remat_backbone=bool(cfg.TPU.REMAT_BACKBONE),
+            backbone_quant=backbone_quant,
         )
 
     @staticmethod
@@ -277,7 +285,7 @@ class FAMIPose(nn.Module):
         num_sup = sup_x.shape[-1] // 3
         hrnet = HRNet(
             extra=self.extra, num_joints=self.num_joints, dtype=self.dtype,
-            remat=self.remat_backbone, name="hrnet",
+            remat=self.remat_backbone, quant=self.backbone_quant, name="hrnet",
         )
 
         # fold sup frames into the batch: one shared backbone pass

@@ -27,15 +27,16 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from .layers import BasicBlock, BatchNorm, Bottleneck, Interpolate, _pair
+from .quant import conv2d
 
 BLOCKS = {"BASIC": BasicBlock, "BOTTLENECK": Bottleneck}
 
 
-def _conv(features, k, s=1, name=None, dtype=jnp.float32):
+def _conv(features, k, s=1, name=None, dtype=jnp.float32, quant="off"):
     p = (k - 1) // 2
-    return nn.Conv(
-        features, (k, k), strides=(s, s), padding=((p, p), (p, p)),
-        use_bias=False, dtype=dtype, param_dtype=jnp.float32, name=name,
+    return conv2d(
+        quant, features, (k, k), strides=(s, s), padding=((p, p), (p, p)),
+        use_bias=False, dtype=dtype, name=name,
     )
 
 
@@ -47,6 +48,7 @@ class Branch(nn.Module):
     features: int
     in_features: int
     dtype: Any = jnp.float32
+    quant: str = "off"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -55,10 +57,13 @@ class Branch(nn.Module):
         x = blk(
             self.features, stride=1,
             has_downsample=(self.in_features != out_feats),
-            dtype=self.dtype, name="block0",
+            dtype=self.dtype, quant=self.quant, name="block0",
         )(x, train)
         for i in range(1, self.num_blocks):
-            x = blk(self.features, dtype=self.dtype, name=f"block{i}")(x, train)
+            x = blk(
+                self.features, dtype=self.dtype, quant=self.quant,
+                name=f"block{i}",
+            )(x, train)
         return x
 
 
@@ -69,15 +74,16 @@ class FuseLayer(nn.Module):
     j: int
     in_features: Sequence[int]
     dtype: Any = jnp.float32
+    quant: str = "off"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         i, j = self.i, self.j
         if j > i:
             # coarse -> fine: 1x1 conv + BN, then nearest upsample 2^(j-i)
-            x = nn.Conv(
-                self.in_features[i], (1, 1), use_bias=False, dtype=self.dtype,
-                param_dtype=jnp.float32, name="conv",
+            x = conv2d(
+                self.quant, self.in_features[i], (1, 1), use_bias=False,
+                dtype=self.dtype, name="conv",
             )(x)
             x = BatchNorm(dtype=self.dtype, name="norm")(x, train)
             x = Interpolate(scale_factor=2 ** (j - i))(x)
@@ -86,7 +92,10 @@ class FuseLayer(nn.Module):
         for k in range(i - j):
             last = k == i - j - 1
             feats = self.in_features[i] if last else self.in_features[j]
-            x = _conv(feats, 3, 2, name=f"conv{k}", dtype=self.dtype)(x)
+            x = _conv(
+                feats, 3, 2, name=f"conv{k}", dtype=self.dtype,
+                quant=self.quant,
+            )(x)
             x = BatchNorm(dtype=self.dtype, name=f"norm{k}")(x, train)
             if not last:
                 x = nn.relu(x)
@@ -103,6 +112,7 @@ class HighResolutionModule(nn.Module):
     in_features: Sequence[int]
     multi_scale_output: bool = True
     dtype: Any = jnp.float32
+    quant: str = "off"
 
     @nn.compact
     def __call__(self, xs: List, train: bool = False):
@@ -111,7 +121,8 @@ class HighResolutionModule(nn.Module):
         xs = [
             Branch(
                 self.block, self.num_blocks[i], self.num_channels[i],
-                self.in_features[i], dtype=self.dtype, name=f"branch{i}",
+                self.in_features[i], dtype=self.dtype, quant=self.quant,
+                name=f"branch{i}",
             )(xs[i], train)
             for i in range(self.num_branches)
         ]
@@ -127,7 +138,7 @@ class HighResolutionModule(nn.Module):
                     if j == i
                     else FuseLayer(
                         i, j, out_features, dtype=self.dtype,
-                        name=f"fuse{i}_{j}",
+                        quant=self.quant, name=f"fuse{i}_{j}",
                     )(xs[j], train)
                 )
                 y = t if y is None else y + t
@@ -145,6 +156,7 @@ class Transition(nn.Module):
     prev_features: Sequence[int]
     new_features: Sequence[int]
     dtype: Any = jnp.float32
+    quant: str = "off"
 
     @nn.compact
     def __call__(self, xs: List, train: bool = False):
@@ -152,7 +164,10 @@ class Transition(nn.Module):
         for i, feats in enumerate(self.new_features):
             if i < len(self.prev_features):
                 if feats != self.prev_features[i]:
-                    x = _conv(feats, 3, 1, name=f"adapt{i}", dtype=self.dtype)(xs[i])
+                    x = _conv(
+                        feats, 3, 1, name=f"adapt{i}", dtype=self.dtype,
+                        quant=self.quant,
+                    )(xs[i])
                     x = BatchNorm(dtype=self.dtype, name=f"adapt{i}_norm")(x, train)
                     out.append(nn.relu(x))
                 else:
@@ -163,7 +178,10 @@ class Transition(nn.Module):
                 for k in range(i + 1 - len(self.prev_features)):
                     last = k == i - len(self.prev_features)
                     f = feats if last else self.prev_features[-1]
-                    x = _conv(f, 3, 2, name=f"new{i}_{k}", dtype=self.dtype)(x)
+                    x = _conv(
+                        f, 3, 2, name=f"new{i}_{k}", dtype=self.dtype,
+                        quant=self.quant,
+                    )(x)
                     x = BatchNorm(dtype=self.dtype, name=f"new{i}_{k}_norm")(x, train)
                     x = nn.relu(x)
                 out.append(x)
@@ -180,6 +198,9 @@ class HRNet(nn.Module):
     extra: Dict
     num_joints: int = 17
     dtype: Any = jnp.float32
+    # int8 eval mode for every backbone conv (NOT final_layer, which feeds
+    # the decode path and the MI estimators); see models/quant.py
+    quant: str = "off"
     # rematerialize each HighResolutionModule in the backward pass
     # (jax.checkpoint via nn.remat): trades ~30% recompute for dropping the
     # dominant share of training activation memory
@@ -195,19 +216,22 @@ class HRNet(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False, mode: str = "full"):
         dt = self.dtype
+        q = self.quant
         x = x.astype(dt)
         # stem: 1/4 resolution (hrnet.py:581-588)
-        x = _conv(64, 3, 2, name="stem_conv1", dtype=dt)(x)
+        x = _conv(64, 3, 2, name="stem_conv1", dtype=dt, quant=q)(x)
         x = BatchNorm(dtype=dt, name="stem_norm1")(x, train)
         x = nn.relu(x)
-        x = _conv(64, 3, 2, name="stem_conv2", dtype=dt)(x)
+        x = _conv(64, 3, 2, name="stem_conv2", dtype=dt, quant=q)(x)
         x = BatchNorm(dtype=dt, name="stem_norm2")(x, train)
         x = nn.relu(x)
 
         # layer1: 4 Bottlenecks 64->256 (hrnet.py:589)
-        x = Bottleneck(64, has_downsample=True, dtype=dt, name="layer1_block0")(x, train)
+        x = Bottleneck(
+            64, has_downsample=True, dtype=dt, quant=q, name="layer1_block0"
+        )(x, train)
         for i in range(1, 4):
-            x = Bottleneck(64, dtype=dt, name=f"layer1_block{i}")(x, train)
+            x = Bottleneck(64, dtype=dt, quant=q, name=f"layer1_block{i}")(x, train)
 
         prev_feats = [256]
         xs = [x]
@@ -216,7 +240,8 @@ class HRNet(nn.Module):
             n_mod, n_br, block, n_blocks, n_chans = self._stage_cfg(sname)
             out_feats = [c * BLOCKS[block].expansion for c in n_chans]
             xs = Transition(
-                prev_feats, out_feats, dtype=dt, name=f"transition{si + 1}"
+                prev_feats, out_feats, dtype=dt, quant=q,
+                name=f"transition{si + 1}",
             )(xs, train)
             last_stage = sname == stages[-1]
             mod_cls = (
@@ -230,7 +255,7 @@ class HRNet(nn.Module):
                     multi = False
                 xs = mod_cls(
                     n_br, block, n_blocks, n_chans, out_feats,
-                    multi_scale_output=multi, dtype=dt,
+                    multi_scale_output=multi, dtype=dt, quant=q,
                     name=f"{sname.lower()}_module{m}",
                 )(xs, train)
             prev_feats = out_feats

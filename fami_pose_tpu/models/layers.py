@@ -20,6 +20,8 @@ from typing import Any, Callable, Tuple, Union
 import flax.linen as nn
 import jax.numpy as jnp
 
+from .quant import conv2d
+
 BN_MOMENTUM = 0.9  # retain fraction == 1 - torch's 0.1
 BN_EPS = 1e-5
 
@@ -76,6 +78,7 @@ class ConvBnAct(nn.Module):
     has_act: bool = True
     act: str = "ReLU"
     dtype: Any = jnp.float32
+    quant: str = "off"  # int8 eval support, see models/quant.py
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -83,16 +86,16 @@ class ConvBnAct(nn.Module):
         s = _pair(self.stride)
         p = _pair(self.padding)
         d = _pair(self.dilation)
-        x = nn.Conv(
+        x = conv2d(
+            self.quant,
             self.features,
             kernel_size=k,
             strides=s,
             padding=((p[0], p[0]), (p[1], p[1])),
             kernel_dilation=d,
-            feature_group_count=self.groups,
+            groups=self.groups,
             use_bias=self.has_bias,
             dtype=self.dtype,
-            param_dtype=jnp.float32,
             name="conv",
         )(x)
         if self.has_bn:
@@ -124,18 +127,19 @@ class Downsample(nn.Module):
     has_bn: bool = True
     kernel_size: int = 1
     dtype: Any = jnp.float32
+    quant: str = "off"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         k = _pair(self.kernel_size)
-        x = nn.Conv(
+        x = conv2d(
+            self.quant,
             self.features,
             kernel_size=k,
             strides=_pair(self.stride),
             padding="VALID" if k == (1, 1) else ((1, 1), (1, 1)),
             use_bias=False,
             dtype=self.dtype,
-            param_dtype=jnp.float32,
             name="conv",
         )(x)
         if self.has_bn:
@@ -153,6 +157,7 @@ class BasicBlock(nn.Module):
     skip_norm: bool = False
     act: str = "ReLU"
     dtype: Any = jnp.float32
+    quant: str = "off"
 
     expansion = 1
 
@@ -160,28 +165,26 @@ class BasicBlock(nn.Module):
     def __call__(self, x, train: bool = False):
         act = activation(self.act)
         residual = x
-        out = nn.Conv(
-            self.features, (3, 3), strides=_pair(self.stride),
-            padding=((1, 1), (1, 1)), feature_group_count=self.groups,
-            use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
-            name="conv1",
+        out = conv2d(
+            self.quant, self.features, (3, 3), strides=_pair(self.stride),
+            padding=((1, 1), (1, 1)), groups=self.groups,
+            use_bias=False, dtype=self.dtype, name="conv1",
         )(x)
         if not self.skip_norm:
             out = BatchNorm(dtype=self.dtype, name="norm1")(out, train)
         out = act(out)
         # NOTE: the reference passes `stride` to conv2 as well (basic_model.py:37)
-        out = nn.Conv(
-            self.features, (3, 3), strides=_pair(self.stride),
-            padding=((1, 1), (1, 1)), feature_group_count=self.groups,
-            use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
-            name="conv2",
+        out = conv2d(
+            self.quant, self.features, (3, 3), strides=_pair(self.stride),
+            padding=((1, 1), (1, 1)), groups=self.groups,
+            use_bias=False, dtype=self.dtype, name="conv2",
         )(out)
         if not self.skip_norm:
             out = BatchNorm(dtype=self.dtype, name="norm2")(out, train)
         if self.has_downsample:
             residual = Downsample(
                 self.features, stride=self.stride, has_bn=not self.skip_norm,
-                dtype=self.dtype, name="downsample",
+                dtype=self.dtype, quant=self.quant, name="downsample",
             )(x, train)
         return act(out + residual)
 
@@ -193,34 +196,35 @@ class Bottleneck(nn.Module):
     stride: int = 1
     has_downsample: bool = False
     dtype: Any = jnp.float32
+    quant: str = "off"
 
     expansion = 4
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         residual = x
-        out = nn.Conv(
-            self.features, (1, 1), use_bias=False, dtype=self.dtype,
-            param_dtype=jnp.float32, name="conv1",
+        out = conv2d(
+            self.quant, self.features, (1, 1), use_bias=False,
+            dtype=self.dtype, name="conv1",
         )(x)
         out = BatchNorm(dtype=self.dtype, name="norm1")(out, train)
         out = nn.relu(out)
-        out = nn.Conv(
-            self.features, (3, 3), strides=_pair(self.stride),
+        out = conv2d(
+            self.quant, self.features, (3, 3), strides=_pair(self.stride),
             padding=((1, 1), (1, 1)), use_bias=False, dtype=self.dtype,
-            param_dtype=jnp.float32, name="conv2",
+            name="conv2",
         )(out)
         out = BatchNorm(dtype=self.dtype, name="norm2")(out, train)
         out = nn.relu(out)
-        out = nn.Conv(
-            self.features * self.expansion, (1, 1), use_bias=False,
-            dtype=self.dtype, param_dtype=jnp.float32, name="conv3",
+        out = conv2d(
+            self.quant, self.features * self.expansion, (1, 1),
+            use_bias=False, dtype=self.dtype, name="conv3",
         )(out)
         out = BatchNorm(dtype=self.dtype, name="norm3")(out, train)
         if self.has_downsample:
             residual = Downsample(
                 self.features * self.expansion, stride=self.stride,
-                dtype=self.dtype, name="downsample",
+                dtype=self.dtype, quant=self.quant, name="downsample",
             )(x, train)
         return nn.relu(out + residual)
 
@@ -234,18 +238,19 @@ class ChainOfBasicBlocks(nn.Module):
     skip_norm: bool = False
     act: str = "ReLU"
     dtype: Any = jnp.float32
+    quant: str = "off"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = BasicBlock(
             self.features, stride=1, has_downsample=True, groups=self.groups,
             skip_norm=self.skip_norm, act=self.act, dtype=self.dtype,
-            name="block0",
+            quant=self.quant, name="block0",
         )(x, train)
         for i in range(1, self.num_blocks):
             x = BasicBlock(
                 self.features, stride=1, has_downsample=False,
                 groups=self.groups, skip_norm=self.skip_norm, act=self.act,
-                dtype=self.dtype, name=f"block{i}",
+                dtype=self.dtype, quant=self.quant, name=f"block{i}",
             )(x, train)
         return x
