@@ -308,12 +308,16 @@ class FAMIPose(nn.Module):
             # (4-output contract, alignment_mi_function_term6_1.py:104,112-116)
             sup_warped_hms.append(hrnet.final_layer(ga))
 
+        # the head chains share the backbone's int8 serving mode (their
+        # BasicBlocks run at the same 1/4-res widths as the stage-2 branch)
         agg_sup = ChainOfBasicBlocks(
-            c, num_blocks=2, dtype=self.dtype, name="sup_agg_block"
+            c, num_blocks=2, dtype=self.dtype, quant=self.backbone_quant,
+            name="sup_agg_block"
         )(jnp.concatenate(aligned, axis=-1), train)
 
         combined = ChainOfBasicBlocks(
-            c, num_blocks=1, dtype=self.dtype, name="combined_feat_layers"
+            c, num_blocks=1, dtype=self.dtype, quant=self.backbone_quant,
+            name="combined_feat_layers"
         )(jnp.concatenate([agg_sup, kf_feat], axis=-1), train)
 
         # channel-first auxiliaries: the offset/mask convs emit the Pallas
@@ -371,7 +375,8 @@ class FAMIPose(nn.Module):
         aligned_sup = dcn_stage(4, aligned_sup, aligned_sup)
 
         fused = ChainOfBasicBlocks(
-            c, num_blocks=3, dtype=self.dtype, name="init_feature_agg_block"
+            c, num_blocks=3, dtype=self.dtype, quant=self.backbone_quant,
+            name="init_feature_agg_block"
         )(jnp.concatenate([kf_feat, aligned_sup], axis=-1), train)
 
         final_hm = nn.Conv(

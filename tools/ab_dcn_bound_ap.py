@@ -1,0 +1,140 @@
+"""Full-pipeline windowed-vs-exact DCN A/B through poseval AP (VERDICT r2 #4).
+
+``tools/ablate_dcn_bound.py`` quantifies the bounded-offset clamp at the *op*
+level. This tool closes the loop end-to-end: the SAME model variables are run
+through the real Evaluator (decode + annolist writing + poseval AP) on the
+synthetic PoseTrack fixture, once with the exact unbounded gather path
+(``TPU.DCN_MAX_OFFSET: 0``, torchvision-faithful — reference semantics
+``Alignment_V15.py:83-101``) and once per bounded window (2/4/6); the
+per-joint AP deltas are the end-to-end bound the mAP-parity claim needs.
+
+It also captures the model's ACTUAL offset-conv output distribution on the
+fixture (via flax capture_intermediates), replacing the synthetic draws the
+op-level ablation used.
+
+Run (CPU, tiny topology):   python tools/ab_dcn_bound_ap.py
+Run (TPU, flagship W48):    python tools/ab_dcn_bound_ap.py --w48
+Results recorded in docs/DCN_OFFSET_BOUND.md.
+"""
+
+import argparse
+import os
+import os.path as osp
+import sys
+import tempfile
+
+sys.path.insert(0, osp.join(osp.dirname(__file__), ".."))
+sys.path.insert(0, osp.join(osp.dirname(__file__), "..", "tests"))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_CACHE = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--w48", action="store_true",
+                   help="flagship W48 widths (needs a TPU; default: tiny)")
+    p.add_argument("--bounds", type=int, nargs="+", default=[2, 4, 6])
+    p.add_argument("--videos", type=int, default=2)
+    p.add_argument("--frames", type=int, default=5)
+    p.add_argument("--seed", type=int, default=19970808)
+    args = p.parse_args()
+
+    from fixtures import make_cfg, make_posetrack_fixture
+    from test_end_to_end import _write_gt_annolists
+
+    from fami_pose_tpu.engine.evaluator import Evaluator
+    from fami_pose_tpu.models.hrnet import TINY_EXTRA, W48_EXTRA
+
+    root = tempfile.mkdtemp(prefix="ab_dcn_")
+    _, img_dir = make_posetrack_fixture(
+        root, n_videos=args.videos, n_frames=args.frames, people_per_frame=2,
+        seed=args.seed % (2 ** 31),
+    )
+    cfg = make_cfg(osp.join(root, "json"), img_dir)
+    cfg.MODEL.NAME = "FAMIPose"
+    cfg.MODEL.EXTRA = W48_EXTRA if args.w48 else TINY_EXTRA
+    if not args.w48:
+        cfg.TPU.COMPUTE_DTYPE = "float32"
+        cfg.TPU.DCN_OFFSET_GROUPS = 4
+    cfg.TPU.MESH_SHAPE = [1, 1]
+    cfg.VAL.BATCH_SIZE_PER_GPU = 4
+    cfg.VAL.USE_GT_BBOX = True
+    cfg.VAL.POST_PROCESS = True
+    cfg.OUTPUT_DIR = osp.join(root, "out")
+    cfg.VAL.ANNOT_DIR = _write_gt_annolists(root, img_dir, cfg)
+
+    # one shared set of variables across every bound (params are
+    # layout-independent of the DCN path by construction)
+    variables = None
+    results = {}
+    offset_stats = None
+    for d in [0] + list(args.bounds):
+        c = cfg.clone()
+        c.TPU.DCN_MAX_OFFSET = d
+        ev = Evaluator(c)
+        if variables is None:
+            variables = jax.jit(
+                lambda: ev.model.init(
+                    jax.random.PRNGKey(0), *ev._example, train=False
+                )
+            )()
+            variables = jax.device_get(variables)
+
+            # actual offset-conv outputs on a real fixture batch
+            raw = next(iter(ev.loader))
+            kf, sup = ev._prepare(raw)
+            _, inter = ev.model.apply(
+                variables, kf, sup, train=False,
+                capture_intermediates=lambda mdl, name: bool(
+                    mdl.name and "dcn_offset" in mdl.name
+                ),
+            )
+
+            offs = []
+
+            def collect(node, path=""):
+                if isinstance(node, dict):
+                    for k, v in node.items():
+                        collect(v, path + "/" + str(k))
+                elif isinstance(node, (tuple, list)):
+                    for v in node:
+                        collect(v, path)
+                elif "dcn_offset" in path:
+                    offs.append(np.asarray(node, np.float32).ravel())
+
+            collect(inter["intermediates"])
+            allo = np.abs(np.concatenate(offs)) if offs else np.zeros(1)
+            offset_stats = {
+                "p50": np.percentile(allo, 50),
+                "p95": np.percentile(allo, 95),
+                "p99": np.percentile(allo, 99),
+                "max": allo.max(),
+                "frac>|2|": (allo > 2).mean(),
+                "frac>|4|": (allo > 4).mean(),
+                "frac>|6|": (allo > 6).mean(),
+            }
+        res = ev.eval_checkpoint(dict(variables))
+        results[d] = res["final"][0]  # per-joint AP OrderedDict
+        print(f"d_max={d}: " + ", ".join(
+            f"{k}={v:.2f}" for k, v in results[d].items()))
+
+    print("\n== model offset-conv |offset| distribution (fixture batch) ==")
+    print(" ".join(f"{k}={v:.3f}" for k, v in offset_stats.items()))
+
+    print("\n== per-joint AP delta vs exact (d_max=0 unbounded gather) ==")
+    joints = list(results[0].keys())
+    header = "bound  " + " ".join(f"{j:>9s}" for j in joints)
+    print(header)
+    for d in args.bounds:
+        deltas = [results[d][j] - results[0][j] for j in joints]
+        print(f"d={d:<4d} " + " ".join(f"{x:9.3f}" for x in deltas))
+
+
+if __name__ == "__main__":
+    main()

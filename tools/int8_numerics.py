@@ -1,0 +1,116 @@
+"""Int8-vs-bf16 numerics report for the serving path (TPU.INT8_EVAL).
+
+Runs the flagship FAMIPose (HRNet-W48 @384x288) twice on identical variables
+and inputs — bf16 backbone vs int8 PTQ backbone (calibrated on the same
+batch) — and reports:
+
+  * heatmap max-abs / mean-abs delta (relative to the bf16 heatmap range),
+  * decoded-keypoint drift in heatmap pixels (DARK decode, the serving
+    decode), and argmax-cell agreement,
+  * the same deltas for bf16-vs-f32 as a yardstick (how much of the int8
+    delta is quantization vs just bf16 noise).
+
+Results are recorded in docs/PERFORMANCE.md ("Int8 serving mode").
+
+Usage: python tools/int8_numerics.py [--batch 16] [--seed 0]
+"""
+
+import argparse
+import os
+import os.path as osp
+import sys
+
+sys.path.insert(0, osp.join(osp.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_CACHE = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def decode(hm, center, scale):
+    from fami_pose_tpu.ops.heatmap import dark_get_final_preds
+
+    hm_t = jnp.transpose(hm.astype(jnp.float32), (0, 3, 1, 2))
+    preds, maxvals = dark_get_final_preds(hm_t, center, scale)
+    return np.asarray(preds), np.asarray(maxvals)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args()
+
+    from fami_pose_tpu.models.fami_pose import FAMIPose
+    from fami_pose_tpu.models.hrnet import W48_EXTRA
+    from fami_pose_tpu.models.quant import calibrate
+
+    b, h, w, n_sup = args.batch, 384, 288, 4
+    rng = np.random.RandomState(args.seed)
+    kf = jnp.asarray(rng.rand(b, h, w, 3), jnp.float32)
+    sup = jnp.asarray(rng.rand(b, h, w, 3 * n_sup), jnp.float32)
+    # identity-ish boxes so decoded drift is in comparable pixel units
+    center = jnp.tile(jnp.asarray([[w / 2, h / 2]], jnp.float32), (b, 1))
+    scale = jnp.tile(jnp.asarray([[w / 200, h / 200]], jnp.float32), (b, 1))
+
+    kw = dict(extra=W48_EXTRA, num_joints=17, dcn_max_offset=4,
+              use_pallas_dcn=jax.default_backend() != "cpu")
+
+    def build(dtype, quant):
+        return FAMIPose(**kw, dtype=dtype, backbone_quant=quant)
+
+    base = build(jnp.bfloat16, "off")
+    variables = jax.jit(
+        lambda: base.init(jax.random.PRNGKey(1), kf[:1], sup[:1], train=False)
+    )()
+
+    def fwd(model, v):
+        f = jax.jit(lambda vv, a, s: model.apply(vv, a, s, train=False)[0])
+        return f(v, kf, sup)
+
+    hm_f32 = np.asarray(fwd(build(jnp.float32, "off"), variables), np.float32)
+    hm_bf16 = np.asarray(fwd(base, variables), np.float32)
+
+    quant = jax.jit(
+        lambda v, a, s: calibrate(
+            build(jnp.bfloat16, "calibrate"), v, [(a, s)], train=False
+        )
+    )(variables, kf, sup)
+    hm_int8 = np.asarray(
+        fwd(build(jnp.bfloat16, "int8"), {**variables, "quant": quant}),
+        np.float32,
+    )
+
+    rng_ref = np.abs(hm_f32).max()
+    rows = []
+    for name, a, ref in (
+        ("bf16 vs f32", hm_bf16, hm_f32),
+        ("int8 vs bf16", hm_int8, hm_bf16),
+        ("int8 vs f32", hm_int8, hm_f32),
+    ):
+        d = np.abs(a - ref)
+        pa, _ = decode(jnp.asarray(a), center, scale)
+        pr, _ = decode(jnp.asarray(ref), center, scale)
+        # decoded keypoint drift in source-image pixels
+        drift = np.linalg.norm(pa - pr, axis=-1)
+        am_a = a.reshape(b, -1, 17).argmax(axis=1)
+        am_r = ref.reshape(b, -1, 17).argmax(axis=1)
+        rows.append(
+            (name, d.max() / rng_ref, d.mean() / rng_ref, drift.mean(),
+             np.percentile(drift, 95), (am_a == am_r).mean())
+        )
+
+    print(f"\nheatmap range (f32 max-abs): {rng_ref:.4f}; batch {b}")
+    print(f"{'pair':14s} {'max|d|/rng':>11s} {'mean|d|/rng':>12s} "
+          f"{'drift px':>9s} {'p95 px':>7s} {'argmax==':>9s}")
+    for name, mx, mn, dm, d95, agree in rows:
+        print(f"{name:14s} {mx:11.4f} {mn:12.6f} {dm:9.3f} {d95:7.3f} "
+              f"{agree:9.3f}")
+
+
+if __name__ == "__main__":
+    main()
