@@ -68,6 +68,9 @@ def get_default_cfg() -> CfgNode:
             "PROFILE_DIR": "",
             "PROFILE_STEPS": 10,
             "REMAT_BACKBONE": False,
+            # accumulate backward cotangents in bf16 (f32 Adam master stays);
+            # only active when COMPUTE_DTYPE is bfloat16 (engine/steps.py)
+            "BF16_GRADS": True,
             # move the person-box crop-warp (reference HOT LOOP #1:
             # per-sample cv2.warpAffine, PoseTrack_Alignment.py:416-423)
             # on-device: the dataset emits raw frame windows and the jitted

@@ -37,6 +37,7 @@ class AlignmentMIFunction(BaseCoreFunction):
             mi_alpha=float(getattr(self.cfg.LOSS, "MI_ALPHA", 0.5)),
             mi_beta=float(getattr(self.cfg.LOSS, "MI_BETA", 0.1)),
             donate=bool(self.cfg.TPU.DONATE_TRAIN_STATE),
+            bf16_grads=bool(getattr(self.cfg.TPU, "BF16_GRADS", True)),
         )
 
     def build_eval_step(self, model, mesh=None, flip_pairs=None,

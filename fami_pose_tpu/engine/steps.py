@@ -62,13 +62,22 @@ def make_train_step(
     mi_alpha: float = 0.5,
     mi_beta: float = 0.1,
     donate: bool = True,
+    bf16_grads: bool = False,
 ):
     """Build the jitted training step.
 
     Returns ``step_fn(state, batch) -> (state, metrics)`` where batch is a
     dict with keys ``kf`` (B,H,W,3), ``sup`` (B,H,W,3N), ``target``
     (B,h,w,J), ``target_weight`` (B,J).
+
+    ``bf16_grads`` (``TPU.BF16_GRADS``): differentiate w.r.t. a bf16 cast of
+    the parameters so backward cotangents ACCUMULATE in bf16 (the model casts
+    params to bf16 at every use anyway, so the forward is unchanged); the
+    f32 master copy lives in ``state.params`` and the optimizer update stays
+    f32. Attacks the f32 convert/reduce bucket of the train step
+    (docs/PERFORMANCE.md); only active when the model computes in bf16.
     """
+    low = getattr(model, "dtype", jnp.float32) == jnp.bfloat16 and bf16_grads
 
     def step(state: TrainState, batch):
         def loss_fn(params):
@@ -86,9 +95,21 @@ def make_train_step(
             )
             return total, (aux, mut["batch_stats"], final, kf_bb, sup_hms)
 
+        diff_params = state.params
+        if low:
+            diff_params = jax.tree.map(
+                lambda p: p.astype(jnp.bfloat16)
+                if jnp.issubdtype(p.dtype, jnp.floating) else p,
+                state.params,
+            )
         (loss, (aux, new_stats, final, kf_bb, sup_hms)), grads = (
-            jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+            jax.value_and_grad(loss_fn, has_aux=True)(diff_params)
         )
+        if low:
+            # one cheap cast back to the master dtype for the f32 Adam update
+            grads = jax.tree.map(
+                lambda g, p: g.astype(p.dtype), grads, state.params
+            )
         new_state = state.apply_gradients(grads, new_batch_stats=new_stats)
         acc, cnt = heatmap_pck_accuracy(final, batch["target"])
         acc_bb, _ = heatmap_pck_accuracy(kf_bb, batch["target"])

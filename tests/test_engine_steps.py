@@ -198,3 +198,51 @@ def test_core_function_builds_sharded_eval_step(setup, rng):
     np.testing.assert_allclose(
         np.asarray(hm), np.asarray(hm0), rtol=2e-4, atol=2e-4
     )
+
+
+def test_train_step_bf16_grads(rng):
+    """TPU.BF16_GRADS: cotangents accumulate in bf16 against a bf16 model;
+    the f32 master params still update and the loss still decreases."""
+    model = FAMIPose(
+        extra=TINY_EXTRA, num_joints=17, feat_channels=8,
+        dcn_offset_groups=4, dtype=jnp.bfloat16,
+    )
+    cfg = get_default_cfg()
+    tx = build_optimizer(cfg, steps_per_epoch=100)
+    state = create_train_state(
+        model, tx, jax.random.PRNGKey(0),
+        (jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 64, 64, 12))),
+    )
+    step_fn = make_train_step(model, donate=False, bf16_grads=True)
+    batch = jax.tree.map(jnp.asarray, _make_batch(rng))
+    losses = []
+    for _ in range(5):
+        state, metrics = step_fn(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(l) for l in losses)
+    assert losses[-1] < losses[0]
+    # master params stayed f32
+    assert all(
+        l.dtype == jnp.float32
+        for l in jax.tree.leaves(state.params)
+        if jnp.issubdtype(l.dtype, jnp.floating)
+    )
+
+
+def test_bf16_grads_inactive_for_f32_model(rng):
+    """The flag is a no-op for f32 compute (e.g. CPU test configs)."""
+    model = _make_model()  # f32
+    cfg = get_default_cfg()
+    tx = build_optimizer(cfg, steps_per_epoch=100)
+    state = create_train_state(
+        model, tx, jax.random.PRNGKey(0),
+        (jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 64, 64, 12))),
+    )
+    batch = jax.tree.map(jnp.asarray, _make_batch(rng))
+    s_on = make_train_step(model, donate=False, bf16_grads=True)
+    s_off = make_train_step(model, donate=False, bf16_grads=False)
+    _, m_on = s_on(state, batch)
+    _, m_off = s_off(state, batch)
+    np.testing.assert_array_equal(
+        np.float32(m_on["loss"]), np.float32(m_off["loss"])
+    )

@@ -1,0 +1,98 @@
+"""On-chip Pallas DCN parity artifact (VERDICT r2 #8).
+
+Every Pallas parity test in ``tests/`` runs in interpret mode (CPU host);
+this tool runs the SAME comparisons on the real chip, guarding against
+Mosaic lowering changes:
+
+  * fused Pallas kernel (v3, the default) vs the XLA windowed reference
+    (``ops.deform_conv.deform_conv2d_windowed``) — identical semantics, so
+    the delta is pure float error;
+  * both vs the exact unbounded gather path on offsets drawn INSIDE the
+    window (where all three must agree);
+  * checksums at eval scale with model-shaped inputs.
+
+Run on the TPU: ``python tools/pallas_onchip_parity.py``; output is
+committed to ``docs/PALLAS_ONCHIP_PARITY.md``.
+"""
+
+import os
+import os.path as osp
+import sys
+
+sys.path.insert(0, osp.join(osp.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_CACHE = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def main():
+    from fami_pose_tpu.ops.deform_conv import (
+        deform_conv2d,
+        deform_conv2d_windowed,
+    )
+    from fami_pose_tpu.ops.pallas.dcn import deform_conv2d_pallas
+
+    backend = jax.default_backend()
+    print(f"backend: {backend} ({jax.devices()[0]})")
+    if backend == "cpu":
+        print("WARNING: running on CPU -> Pallas interpret mode; this "
+              "artifact is only meaningful on a TPU.")
+
+    n, h, w, c, g, k = 8, 96, 72, 48, 12, 3
+    d_max = 4
+    rng = np.random.RandomState(19970808)
+    x = jnp.asarray(rng.rand(n, h, w, c), jnp.float32)
+    # model-shaped offsets: mostly sub-pixel, a tail up to ~d_max (matches
+    # the measured offset-conv distribution, tools/ab_dcn_bound_ap.py)
+    off = jnp.asarray(
+        rng.randn(n, h, w, 2 * g * k * k) * 0.8, jnp.float32
+    ).clip(-d_max + 1e-3, d_max - 1e-3)
+    msk = jnp.asarray(rng.rand(n, h, w, g * k * k), jnp.float32)
+    wgt = jnp.asarray(rng.randn(k, k, c, c) * 0.05, jnp.float32)
+    bias = jnp.asarray(rng.randn(c) * 0.1, jnp.float32)
+
+    kw = dict(padding=3, dilation=3, offset_groups=g)
+
+    outs = {}
+    outs["pallas_v3"] = np.asarray(jax.jit(
+        lambda *a: deform_conv2d_pallas(*a, max_offset=d_max, **kw)
+    )(x, off, msk, wgt, bias), np.float32)
+    outs["xla_windowed"] = np.asarray(jax.jit(
+        lambda *a: deform_conv2d_windowed(*a, max_offset=d_max, **kw)
+    )(x, off, msk, wgt, bias), np.float32)
+    outs["exact_gather"] = np.asarray(jax.jit(
+        lambda *a: deform_conv2d(*a, stride=1, **kw)
+    )(x, off, msk, wgt, bias), np.float32)
+
+    scale = np.abs(outs["exact_gather"]).max()
+    print(f"\noutput range (exact, max-abs): {scale:.4f}; "
+          f"batch {n}, d_max {d_max}")
+    print(f"{'pair':28s} {'max|d|':>12s} {'max|d|/rng':>12s} {'mean|d|':>12s}")
+    pairs = [
+        ("pallas_v3 vs xla_windowed", "pallas_v3", "xla_windowed"),
+        ("pallas_v3 vs exact_gather", "pallas_v3", "exact_gather"),
+        ("xla_windowed vs exact", "xla_windowed", "exact_gather"),
+    ]
+    worst = 0.0
+    for name, a, b in pairs:
+        d = np.abs(outs[a] - outs[b])
+        print(f"{name:28s} {d.max():12.3e} {d.max() / scale:12.3e} "
+              f"{d.mean():12.3e}")
+        worst = max(worst, d.max() / scale)
+    print(f"\nchecksums: " + ", ".join(
+        f"{k}={float(v.sum()):.6f}" for k, v in outs.items()))
+    # threshold: on-chip f32 matmuls run at default MXU precision (bf16
+    # passes), so legit implementations differ at the ~1e-3-relative level;
+    # interpret-mode tests pin the same comparison at 1e-5 on the CPU host
+    status = "PASS" if worst < 1e-3 else "FAIL"
+    print(f"{status}: worst relative delta {worst:.3e} "
+          f"(threshold 1e-3 of output range at default MXU precision)")
+
+
+if __name__ == "__main__":
+    main()
