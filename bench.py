@@ -1,7 +1,9 @@
 """Benchmark: FAMIPose (HRNet-W48, 4 sup frames) clips/sec on one chip.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "clips/sec/chip", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "clips/sec/chip", "vs_baseline": N,
+   "int8_serving_clips_per_sec": N, "pipeline_clips_per_sec": N,
+   "pipeline_int8_clips_per_sec": N}
 
 The baseline is the driver-set north star of 500 clips/sec/chip at 384x288
 (BASELINE.json). A "clip" is one key frame + 4 supporting frames through the
@@ -9,8 +11,21 @@ full model (shared backbone pass over 5 frames + alignment head + decode-ready
 heatmaps), i.e. the eval-path forward of the flagship config
 (configs/Alignment/posetrack17 equivalent).
 
+Four numbers are recorded per run:
+  * ``value``: the bf16 parity-path raw forward (DCN window D=4) — the
+    headline tracked across rounds.
+  * ``int8_serving_clips_per_sec``: raw forward in the int8 serving mode
+    (``TPU.INT8_EVAL`` PTQ backbone + DCN window D=2 — zero measured AP
+    delta, docs/DCN_OFFSET_BOUND.md; numerics in docs/PERFORMANCE.md).
+  * ``pipeline_*``: the full serving path BASELINE.json describes — flip-test
+    + heatmap averaging + DARK sub-pixel decode + on-device OKS-NMS, all
+    fused in one jit — for each mode.
+
 Env knobs: BENCH_BATCH (default 128), BENCH_ITERS (default 20), BENCH_DTYPE
-(bfloat16|float32).
+(bfloat16|float32), BENCH_PALLAS (default 1), BENCH_DCN_MAX_OFFSET
+(default 4 parity / 2 int8), BENCH_INT8 (default 0: report bf16 headline;
+1: report int8 as the headline), BENCH_EXTRAS (default 1: measure the int8 +
+pipeline extras; 0: headline only).
 """
 
 import json
@@ -31,6 +46,17 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 BASELINE_CLIPS_PER_SEC = 500.0
 
 
+def build(dtype, int8: bool, max_off: int, use_pallas: bool):
+    from fami_pose_tpu.models.fami_pose import FAMIPose
+    from fami_pose_tpu.models.hrnet import W48_EXTRA
+
+    return FAMIPose(
+        extra=W48_EXTRA, num_joints=17, dtype=dtype,
+        dcn_max_offset=max_off, use_pallas_dcn=use_pallas,
+        backbone_quant="int8" if int8 else "off",
+    )
+
+
 def main():
     batch = int(os.environ.get("BENCH_BATCH", "128"))
     iters = int(os.environ.get("BENCH_ITERS", "20"))
@@ -39,109 +65,129 @@ def main():
         if os.environ.get("BENCH_DTYPE", "bfloat16") == "float32"
         else jnp.bfloat16
     )
-
-    from fami_pose_tpu.models.fami_pose import FAMIPose
-    from fami_pose_tpu.models.hrnet import W48_EXTRA
-
     use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
-    max_off = int(os.environ.get("BENCH_DCN_MAX_OFFSET", "4"))
-    int8 = os.environ.get("BENCH_INT8", "0") == "1"
-    model = FAMIPose(
-        extra=W48_EXTRA, num_joints=17, dtype=dtype,
-        dcn_max_offset=max_off, use_pallas_dcn=use_pallas,
-        backbone_quant="int8" if int8 else "off",
-    )
+    int8_headline = os.environ.get("BENCH_INT8", "0") == "1"
+    extras = os.environ.get("BENCH_EXTRAS", "1") == "1"
+    # parity default D=4; the int8 serving mode uses D=2 (zero measured AP
+    # delta at the model's offset distribution, docs/DCN_OFFSET_BOUND.md)
+    d_parity = int(os.environ.get("BENCH_DCN_MAX_OFFSET", "4"))
+    d_int8 = int(os.environ.get("BENCH_DCN_MAX_OFFSET", "2"))
+
     h, w, n_sup = 384, 288, 4
     rng = np.random.RandomState(0)
     kf = jnp.asarray(rng.rand(batch, h, w, 3), jnp.float32)
     sup = jnp.asarray(rng.rand(batch, h, w, 3 * n_sup), jnp.float32)
+    center = jnp.tile(jnp.asarray([[144.0, 192.0]], jnp.float32), (batch, 1))
+    scale = jnp.tile(jnp.asarray([[1.44, 1.92]], jnp.float32), (batch, 1))
 
-    variables = jax.jit(
-        lambda: model.init(jax.random.PRNGKey(0), kf[:1], sup[:1], train=False)
-    )()
-    if int8:
-        # PTQ calibration on one (synthetic) batch — serving would calibrate
-        # on real eval batches via the evaluator (TPU.INT8_EVAL)
-        from fami_pose_tpu.models.quant import calibrate
-
-        variables = dict(variables)
-        variables["quant"] = jax.jit(
-            lambda v, a, b: calibrate(
-                model.clone(backbone_quant="calibrate"), v, [(a, b)],
-                train=False,
-            )
-        )(variables, kf[:8], sup[:8])
-
-    def forward(v, kf_x, sup_x):
-        final, _ = model.apply(v, kf_x, sup_x, train=False)
-        return final.astype(jnp.float32)
-
-    # serving pipeline (BASELINE.json config 3): flip-test + heatmap
-    # averaging + DARK sub-pixel decode + on-device OKS-NMS, all inside one
-    # jit — the full path from crops to final keypoints
     from fami_pose_tpu.data.keypoints import COCO_FLIP_PAIRS
     from fami_pose_tpu.ops.heatmap import dark_get_final_preds
     from fami_pose_tpu.ops.nms import oks_nms_device
     from fami_pose_tpu.ops.pose import flip_back_nhwc
 
-    center = jnp.tile(jnp.asarray([[144.0, 192.0]], jnp.float32), (batch, 1))
-    scale = jnp.tile(jnp.asarray([[1.44, 1.92]], jnp.float32), (batch, 1))
+    def variables_for(model, int8: bool):
+        v = jax.jit(
+            lambda: model.init(
+                jax.random.PRNGKey(0), kf[:1], sup[:1], train=False
+            )
+        )()
+        if int8:
+            # PTQ calibration on one (synthetic) batch — serving calibrates
+            # on real eval batches via the evaluator (TPU.INT8_EVAL)
+            from fami_pose_tpu.models.quant import calibrate
 
-    def pipeline(v, kf_x, sup_x):
-        final, _ = model.apply(v, kf_x, sup_x, train=False)
-        f_final, _ = model.apply(
-            v, kf_x[:, :, ::-1, :], sup_x[:, :, ::-1, :], train=False
-        )
-        final = (final + flip_back_nhwc(f_final, COCO_FLIP_PAIRS)) * 0.5
-        hm = jnp.transpose(final.astype(jnp.float32), (0, 3, 1, 2))
-        preds, maxvals = dark_get_final_preds(hm, center, scale)
-        kpts = jnp.concatenate([preds, maxvals], axis=-1)  # (B, J, 3)
-        scores = jnp.mean(maxvals[..., 0], axis=-1)
-        areas = jnp.prod(scale * 200.0, axis=-1)
-        keep = oks_nms_device(
-            kpts, scores, areas, jnp.ones((batch,), bool), thr=0.9
-        )
-        return kpts * keep[:, None, None].astype(jnp.float32)
+            v = dict(v)
+            v["quant"] = jax.jit(
+                lambda vv, a, b: calibrate(
+                    model.clone(backbone_quant="calibrate"), vv, [(a, b)],
+                    train=False,
+                )
+            )(v, kf[:8], sup[:8])
+        return v
 
-    def make_loop(fn):
+    def forward_fn(model):
+        def forward(v, kf_x, sup_x):
+            final, _ = model.apply(v, kf_x, sup_x, train=False)
+            return final.astype(jnp.float32)
+        return forward
+
+    def pipeline_fn(model):
+        # serving path (BASELINE.json config 3): flip-test + averaging +
+        # DARK decode + on-device OKS-NMS, one jit
+        def pipeline(v, kf_x, sup_x):
+            final, _ = model.apply(v, kf_x, sup_x, train=False)
+            f_final, _ = model.apply(
+                v, kf_x[:, :, ::-1, :], sup_x[:, :, ::-1, :], train=False
+            )
+            final = (final + flip_back_nhwc(f_final, COCO_FLIP_PAIRS)) * 0.5
+            hm = jnp.transpose(final.astype(jnp.float32), (0, 3, 1, 2))
+            preds, maxvals = dark_get_final_preds(hm, center, scale)
+            kpts = jnp.concatenate([preds, maxvals], axis=-1)  # (B, J, 3)
+            scores = jnp.mean(maxvals[..., 0], axis=-1)
+            areas = jnp.prod(scale * 200.0, axis=-1)
+            keep = oks_nms_device(
+                kpts, scores, areas, jnp.ones((batch,), bool), thr=0.9
+            )
+            return kpts * keep[:, None, None].astype(jnp.float32)
+        return pipeline
+
+    def measure(fn, v):
         @jax.jit
-        def timed_loop(v, kf_x, sup_x):
-            # chain iterations through a data dependency so the measured time
-            # covers `iters` sequential forwards (async dispatch can otherwise
-            # under-report)
+        def loop(vv, kf_x, sup_x):
+            # chain iterations through a data dependency so the measured
+            # time covers `iters` sequential calls (async dispatch can
+            # otherwise under-report)
             def body(carry, _):
-                out = fn(v, kf_x + carry, sup_x)
+                out = fn(vv, kf_x + carry, sup_x)
                 s = jnp.sum(out)
-                # tiny but *data-dependent* carry: prevents XLA from hoisting
-                # the forward out of the loop (a literal *0 would
-                # constant-fold, and scaling the raw sum can overflow)
+                # tiny but *data-dependent* carry: prevents XLA from
+                # hoisting the call out of the loop (a literal *0 would
+                # constant-fold; scaling the raw sum can overflow)
                 return jnp.sign(s) * jnp.float32(1e-6), s
             _, sums = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
             return sums
-        return timed_loop
 
-    def measure(fn):
-        loop = make_loop(fn)
         # warmup / compile (fetch to host: on relayed platforms
         # block_until_ready alone does not guarantee execution finished)
-        np.asarray(loop(variables, kf, sup))
+        np.asarray(loop(v, kf, sup))
         t0 = time.perf_counter()
-        sums = np.asarray(loop(variables, kf, sup))
+        sums = np.asarray(loop(v, kf, sup))
         dt = time.perf_counter() - t0
         assert np.isfinite(sums).all()
-        return batch * iters / dt
+        return round(batch * iters / dt, 2)
 
-    clips_per_sec = measure(forward)
-    record = {
-        "metric": "fami_pose_w48_384x288_eval_forward"
-        + ("_int8" if int8 else ""),
-        "value": round(clips_per_sec, 2),
-        "unit": "clips/sec/chip",
-        "vs_baseline": round(clips_per_sec / BASELINE_CLIPS_PER_SEC, 4),
-    }
-    if os.environ.get("BENCH_PIPELINE", "1") == "1":
-        # full serving path: the number BASELINE.json's north star describes
-        record["pipeline_clips_per_sec"] = round(measure(pipeline), 2)
+    m_bf16 = build(dtype, False, d_parity, use_pallas)
+    m_int8 = build(dtype, True, d_int8, use_pallas)
+
+    record = {}
+    if int8_headline:
+        v8 = variables_for(m_int8, True)
+        headline = measure(forward_fn(m_int8), v8)
+        record["metric"] = "fami_pose_w48_384x288_eval_forward_int8"
+    else:
+        vb = variables_for(m_bf16, False)
+        headline = measure(forward_fn(m_bf16), vb)
+        record["metric"] = "fami_pose_w48_384x288_eval_forward"
+    record["value"] = headline
+    record["unit"] = "clips/sec/chip"
+    record["vs_baseline"] = round(headline / BASELINE_CLIPS_PER_SEC, 4)
+
+    if extras:
+        if int8_headline:
+            vb = variables_for(m_bf16, False)
+            record["bf16_clips_per_sec"] = measure(forward_fn(m_bf16), vb)
+            record["pipeline_int8_clips_per_sec"] = measure(
+                pipeline_fn(m_int8), v8
+            )
+        else:
+            v8 = variables_for(m_int8, True)
+            record["int8_serving_clips_per_sec"] = measure(
+                forward_fn(m_int8), v8
+            )
+            record["pipeline_int8_clips_per_sec"] = measure(
+                pipeline_fn(m_int8), v8
+            )
+        record["pipeline_clips_per_sec"] = measure(pipeline_fn(m_bf16), vb)
     print(json.dumps(record))
 
 

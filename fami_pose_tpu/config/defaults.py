@@ -69,8 +69,12 @@ def get_default_cfg() -> CfgNode:
             "PROFILE_STEPS": 10,
             "REMAT_BACKBONE": False,
             # accumulate backward cotangents in bf16 (f32 Adam master stays);
-            # only active when COMPUTE_DTYPE is bfloat16 (engine/steps.py)
-            "BF16_GRADS": True,
+            # only active when COMPUTE_DTYPE is bfloat16 (engine/steps.py).
+            # Measured on-chip at W48 batch 8: 519.8 ms vs 513.8 ms f32 —
+            # no benefit (the convert/reduce bucket is NOT gradient
+            # accumulation; see docs/PERFORMANCE.md round 3), so off by
+            # default; kept as an option for larger-batch regimes.
+            "BF16_GRADS": False,
             # move the person-box crop-warp (reference HOT LOOP #1:
             # per-sample cv2.warpAffine, PoseTrack_Alignment.py:416-423)
             # on-device: the dataset emits raw frame windows and the jitted

@@ -298,15 +298,27 @@ class FAMIPose(nn.Module):
         sup_feats = [feat[(i + 1) * b : (i + 2) * b] for i in range(num_sup)]
 
         offset_head = GlobalOffsetHead(dtype=self.dtype, name="global_offset")
-        aligned = []
         sup_warped_hms = []
-        for i in range(num_sup):
-            off = offset_head(sup_feats[i] - kf_feat, train)  # (B, 2)
-            ga = warp_translate(sup_feats[i], off)
-            aligned.append(ga)
-            # per-sup auxiliary heatmap through the shared final layer
-            # (4-output contract, alignment_mi_function_term6_1.py:104,112-116)
-            sup_warped_hms.append(hrnet.final_layer(ga))
+        if train:
+            # per-sup calls, like the reference loop (Alignment_V15.py:127-141):
+            # BatchNorm batch statistics are computed per sup frame
+            aligned = []
+            for i in range(num_sup):
+                off = offset_head(sup_feats[i] - kf_feat, train)  # (B, 2)
+                ga = warp_translate(sup_feats[i], off)
+                aligned.append(ga)
+                # per-sup auxiliary heatmap through the shared final layer
+                # (4-output contract, alignment_mi_function_term6_1.py:104,112-116)
+                sup_warped_hms.append(hrnet.final_layer(ga))
+        else:
+            # eval: BN uses running averages, so folding the sup frames into
+            # one (num_sup*B) batch is bit-equivalent — one offset-head graph
+            # and one warp instead of num_sup of each
+            all_sup = feat[b:]  # sup features are contiguous after kf
+            diffs = all_sup - jnp.tile(kf_feat, (num_sup, 1, 1, 1))
+            offs = offset_head(diffs, train)  # (num_sup*B, 2)
+            ga_all = warp_translate(all_sup, offs)
+            aligned = [ga_all[i * b : (i + 1) * b] for i in range(num_sup)]
 
         # the head chains share the backbone's int8 serving mode (their
         # BasicBlocks run at the same 1/4-res widths as the stage-2 branch)

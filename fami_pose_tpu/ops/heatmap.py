@@ -165,7 +165,9 @@ def dark_blur(heatmaps, ksize: int = 11):
     )
     x = x.reshape(b, j, h, w)
     new_max = jnp.max(x, axis=(2, 3), keepdims=True)
-    return x * orig_max / jnp.maximum(new_max, 1e-20)
+    # ratio first: x * orig_max can overflow f32 when heatmap magnitudes are
+    # extreme (e.g. random-weight benches); orig_max/new_max is always ~1
+    return x * (orig_max / jnp.maximum(new_max, 1e-20))
 
 
 def taylor_refine(log_hm, coords):

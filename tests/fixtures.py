@@ -21,11 +21,16 @@ def _person(rng, cx, cy):
 
 
 def make_posetrack_fixture(
-    root, n_videos=2, n_frames=5, people_per_frame=2, posetrack18=False, seed=0
+    root, n_videos=2, n_frames=5, people_per_frame=2, posetrack18=False,
+    seed=0, draw_joints=False,
 ):
     """Write images + a COCO-style json; returns (json_path, img_dir).
 
     PT18 naming: 6-digit frames starting at 0; PT17: 8-digit starting at 1.
+
+    ``draw_joints`` paints a distinct-colored disc at every keypoint so the
+    image->pose mapping is learnable from LOCAL features (convergence tests)
+    instead of pure noise memorization.
     """
     rng = np.random.RandomState(seed)
     img_dir = osp.join(root, "images")
@@ -44,6 +49,18 @@ def make_posetrack_fixture(
             frame_idx = start + f
             fname = f"{str(frame_idx).zfill(zero_fill)}.jpg"
             img = rng.randint(0, 255, (IMG_H, IMG_W, 3), np.uint8)
+            frame_pts = [_person(rng, *centers[p])
+                         for p in range(people_per_frame)]
+            if draw_joints:
+                for pts in frame_pts:
+                    for j, (x, y) in enumerate(pts):
+                        color = (
+                            int(40 + 12 * j), int(255 - 12 * j),
+                            int(128 + 7 * j) % 256,
+                        )
+                        cv2.circle(
+                            img, (int(round(x)), int(round(y))), 3, color, -1
+                        )
             cv2.imwrite(osp.join(vdir, fname), img)
             img_id += 1
             images.append(
@@ -59,7 +76,7 @@ def make_posetrack_fixture(
                 }
             )
             for p in range(people_per_frame):
-                pts = _person(rng, *centers[p])
+                pts = frame_pts[p]
                 kps = []
                 for x, y in pts:
                     kps += [float(x), float(y), 1]

@@ -30,12 +30,19 @@ def _cfg(root, img_dir):
     cfg.TPU.COMPUTE_DTYPE = "float32"
     cfg.TPU.DCN_OFFSET_GROUPS = 4
     cfg.TPU.DCN_MAX_OFFSET = 2
+    cfg.TPU.USE_PALLAS_DCN = False  # interpret-mode Pallas is slow on CPU
     cfg.TPU.MESH_SHAPE = [1, 1]
     cfg.TRAIN.BATCH_SIZE_PER_GPU = 8
     cfg.TRAIN.BEGIN_EPOCH = 0
     cfg.TRAIN.AUTO_RESUME = True
     cfg.TRAIN.SHUFFLE = True
     cfg.TRAIN.LR = 1e-3
+    # overfit a FIXED sample set: augmentation off, else the random
+    # scale/rot/flip re-draws targets every epoch and the loss plateaus
+    cfg.TRAIN.SCALE_FACTOR = [0.0, 0.0]
+    cfg.TRAIN.ROT_FACTOR = 0
+    cfg.TRAIN.FLIP = False
+    cfg.DATASET.RANDOM_AUX_FRAME = False
     # keep the schedule flat across the run so the loss curve is about
     # optimization, not LR decay; resume continuity is still exercised
     cfg.TRAIN.LR_STEP = [1000]
@@ -48,8 +55,12 @@ def test_sustained_training_with_midrun_resume(tmp_path):
     from fami_pose_tpu.engine.trainer import Trainer
 
     root = str(tmp_path)
+    # draw_joints: keypoints are visibly marked, so the pose mapping is
+    # learnable from local features — the run must CONVERGE, not merely
+    # execute (pure-noise images would require slow memorization)
     _, img_dir = make_posetrack_fixture(
-        root, n_videos=2, n_frames=5, people_per_frame=2, seed=3
+        root, n_videos=2, n_frames=5, people_per_frame=2, seed=3,
+        draw_joints=True,
     )
     dirs = {
         "checkpoints": osp.join(root, "ckpt"),

@@ -38,7 +38,9 @@ state = create_train_state(
     model, tx, jax.random.PRNGKey(0),
     (jnp.zeros((1, h, w, 3)), jnp.zeros((1, h, w, 3 * n_sup))),
 )
-step = make_train_step(model, donate=True)
+BF16G = os.environ.get("BF16_GRADS", "1") == "1"
+step = make_train_step(model, donate=True, bf16_grads=BF16G)
+print(f"bf16_grads={BF16G}", flush=True)
 
 t0 = time.perf_counter()
 state, metrics = step(state, batch)
