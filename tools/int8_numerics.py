@@ -68,6 +68,26 @@ def main():
         lambda: base.init(jax.random.PRNGKey(1), kf[:1], sup[:1], train=False)
     )()
 
+    # BN running-stat warmup: at raw init the running stats are (0, 1) while
+    # actual activations are not, so eval-mode activations grow unchecked
+    # through ~100 layers (measured: heatmap range 1e26 — any numerics
+    # comparison is chaotic). A few train-mode forwards give the stats
+    # realistic values and O(1) heatmaps, like a trained checkpoint has.
+    warm = build(jnp.float32, "off")
+
+    @jax.jit
+    def warm_step(v, a, s):
+        _, mut = warm.apply(
+            v, a, s, train=True, mutable=["batch_stats"]
+        )
+        return mut["batch_stats"]
+
+    for i in range(4):
+        variables = {
+            "params": variables["params"],
+            "batch_stats": warm_step(variables, kf[:8], sup[:8]),
+        }
+
     def fwd(model, v):
         f = jax.jit(lambda vv, a, s: model.apply(vv, a, s, train=False)[0])
         return f(v, kf, sup)
