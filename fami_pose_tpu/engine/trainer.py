@@ -99,11 +99,11 @@ class Trainer:
         from fami_pose_tpu.models.torch_remap import (
             load_torch_state_dict,
             merge_into_variables,
-            remap_hrnet_state_dict,
+            remap_hrnet_backbone_for_fami,
         )
 
         sd = load_torch_state_dict(path)
-        params, stats, unmapped = remap_hrnet_state_dict(sd, prefix=("hrnet",))
+        params, stats, unmapped = remap_hrnet_backbone_for_fami(sd)
         variables = merge_into_variables(
             {"params": self.state.params, "batch_stats": self.state.batch_stats},
             params, stats,

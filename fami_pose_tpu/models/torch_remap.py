@@ -219,6 +219,26 @@ def remap_hrnet_state_dict(
     return params, batch_stats, unmapped
 
 
+def remap_hrnet_backbone_for_fami(sd: Dict[str, np.ndarray]):
+    """Backbone-only torch HRNet state dict -> FAMIPose variable paths.
+
+    Same as ``remap_hrnet_state_dict(prefix=("hrnet",))`` EXCEPT that the
+    shared heatmap head lives at the TOP-level ``final_layer`` scope in the
+    FAMIPose tree (flax creates it there because the MI estimators call
+    ``hrnet.final_layer`` from the parent scope) — a plain prefixed remap
+    would target the nonexistent ``hrnet/final_layer`` path. This is the
+    loader for real ``pose_hrnet_w48.pth`` pretrained checkpoints
+    (``MODEL.PRETRAINED``; reference semantics ``Alignment_V15.py:216-240``).
+    """
+    params, batch_stats, unmapped = remap_hrnet_state_dict(
+        sd, prefix=("hrnet",)
+    )
+    fl = params.get("hrnet", {}).pop("final_layer", None)
+    if fl is not None:
+        params["final_layer"] = fl
+    return params, batch_stats, unmapped
+
+
 def _block_rest_to_flax(rest: Tuple[str, ...]):
     """Map a reference BasicBlock param suffix (``conv1.weight``,
     ``bn2.running_var``, ``downsample.0.weight`` ...) to the flax path."""
