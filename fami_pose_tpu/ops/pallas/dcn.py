@@ -563,6 +563,115 @@ def _dcn_kernel_v3(
     o_ref[0] = acc.astype(o_ref.dtype)
 
 
+def _dcn_kernel_v7(
+    x_ref, off_ref, msk_ref, w_ref, o_ref, *, kh, kw, dil, pad,
+    d_max, groups, cg, tr, c_in, c_out, margin,
+):
+    """v3 with ``P`` batch images stacked on the sublane axis.
+
+    v3's VPU ops run on (C=48, 128) operands — ~6 native-tile cycles of work
+    per issued instruction, so per-instruction overhead dominates (the v6
+    row-stacking attempt to fix this died on Mosaic's 2-D-gather limit).
+    Stacking along the BATCH axis needs no cross-row gathers: the pair
+    dimension is OUTER in every ref, so ``x_ref[:, :, ds]`` yields a
+    (P*C, 128) operand as a free contiguous view, the per-tap gathers stay
+    2-D lane gathers (per-sublane indices), and every blend/FMA instruction
+    does P times the work. Only the final MXU dots split back per image
+    (slice on the leading axis, same total MAC count as v3). Staging is
+    IDENTICAL to v3 — the launch just reshapes (N, ...) -> (N/P, P, ...).
+    """
+    p = x_ref.shape[0]
+    s_win = 2 * d_max + 2
+    row0 = pl.program_id(1) * tr
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (p * c_in, LANE), 1)
+
+    accs = [jnp.zeros((c_out, tr * LANE), jnp.float32) for _ in range(p)]
+    for a in range(kh):
+        row_pieces = [
+            [[None] * tr for _ in range(kw)] for _ in range(p)
+        ]
+        for r in range(tr):
+            idx0, fx_r, wy_in = [], [], []
+            for b in range(kw):
+                t = a * kw + b
+                tx = off_ref[
+                    :, (t * 2 + 1) * groups : (t * 2 + 2) * groups,
+                    r * LANE : (r + 1) * LANE,
+                ].astype(jnp.float32)  # (P, G, LANE)
+                tx = jnp.clip(tx, -d_max, d_max)
+                x0 = jnp.floor(tx)
+                fx = (tx - x0).astype(jnp.float32)
+                # (P, G, L) -> (P*C, L) with row = img*C + cg_idx*G + g
+                x0c = jnp.broadcast_to(
+                    x0.astype(jnp.int32)[:, None], (p, cg, groups, LANE)
+                ).reshape(p * c_in, LANE)
+                fxc = jnp.broadcast_to(
+                    fx[:, None], (p, cg, groups, LANE)
+                ).reshape(p * c_in, LANE)
+                idx0.append(
+                    jnp.clip(col_iota + (b * dil - pad) + x0c, 0, LANE - 1)
+                )
+                fx_r.append(fxc)
+                ty = off_ref[
+                    :, (t * 2 + 0) * groups : (t * 2 + 1) * groups,
+                    r * LANE : (r + 1) * LANE,
+                ].astype(jnp.float32)
+                m = msk_ref[
+                    :, t * groups : (t + 1) * groups,
+                    r * LANE : (r + 1) * LANE,
+                ].astype(jnp.float32)
+                wy_in.append((jnp.clip(ty, -d_max, d_max), m))
+
+            def body(dyi, cols3):
+                dy = dyi - d_max
+                row_start = (margin + row0 + r + a * dil - pad + dy) * LANE
+                # (P, C, LANE) -> (P*C, LANE): free contiguous view
+                xrow = x_ref[:, :, pl.ds(row_start, LANE)].reshape(
+                    p * c_in, LANE
+                )
+                out = []
+                for b in range(kw):
+                    ty, m = wy_in[b]
+                    wy = jnp.maximum(
+                        0.0, 1.0 - jnp.abs(ty - dy.astype(jnp.float32))
+                    ) * m  # (P, G, LANE)
+                    g0 = jnp.take_along_axis(xrow, idx0[b], axis=1)
+                    g1 = jnp.take_along_axis(
+                        xrow, jnp.minimum(idx0[b] + 1, LANE - 1), axis=1
+                    )
+                    samp = g0 * (1.0 - fx_r[b]) + g1 * fx_r[b]  # (P*C, L)
+                    # 4-D view + broadcast (no materialized copies, like
+                    # v3's w2[None] trick): (P, cg, G, L) * (P, 1, G, L)
+                    out.append(
+                        cols3[b]
+                        + samp.reshape(p, cg, groups, LANE) * wy[:, None]
+                    )
+                return tuple(out)
+
+            init = tuple(
+                jnp.zeros((p, cg, groups, LANE), jnp.float32)
+                for _ in range(kw)
+            )
+            cols3 = jax.lax.fori_loop(0, s_win, body, init)
+            for b in range(kw):
+                per_img = cols3[b].reshape(p, c_in, LANE)
+                for i in range(p):
+                    row_pieces[i][b][r] = per_img[i]
+            del cols3
+
+        for b in range(kw):
+            t = a * kw + b
+            for i in range(p):
+                col = jnp.concatenate(row_pieces[i][b], axis=1)  # (C, TRWP)
+                accs[i] = accs[i] + jax.lax.dot_general(
+                    w_ref[t].astype(jnp.float32), col,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+    for i in range(p):
+        o_ref[i] = accs[i].astype(o_ref.dtype)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("padding", "dilation", "offset_groups", "max_offset",
@@ -660,7 +769,7 @@ def deform_conv2d_pallas(
 
     kfn = {
         2: _dcn_kernel, 3: _dcn_kernel_v3, 4: _dcn_kernel_v4,
-        5: _dcn_kernel_v5,
+        5: _dcn_kernel_v5, 7: _dcn_kernel_v7,
     }[int(kernel_version)]
     scratch = (
         [pltpu.VMEM((k * c, tr * LANE), jnp.float32)]
@@ -673,36 +782,77 @@ def deform_conv2d_pallas(
     )
     n_row_blocks = h // tr
     flops = 2 * n * h * w * (k * c * (2 * d_max + 2) ** 2 + k * c * c_out)
-    out_flat = pl.pallas_call(
-        kernel,
-        grid=(n, n_row_blocks),
-        in_specs=[
-            pl.BlockSpec(
-                (1, c, hp * LANE), lambda b, i: (b, 0, 0),
+    if int(kernel_version) == 7:
+        # pair-stacked: same staged arrays, reshaped (N, ...) -> (N/2, 2, ...)
+        # so the pair dim lands OUTER in every block (free in-kernel views)
+        P = 2
+        assert n % P == 0, (n, P)
+        out_flat = pl.pallas_call(
+            kernel,
+            grid=(n // P, n_row_blocks),
+            in_specs=[
+                pl.BlockSpec(
+                    (P, c, hp * LANE), lambda b, i: (b, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (P, 2 * g * k, tr * LANE), lambda b, i: (b, 0, i),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (P, g * k, tr * LANE), lambda b, i: (b, 0, i),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (P, c_out, tr * LANE), lambda b, i: (b, 0, i),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(
-                (1, 2 * g * k, tr * LANE), lambda b, i: (b, 0, i),
+            out_shape=jax.ShapeDtypeStruct((n, c_out, h * LANE), jnp.float32),
+            cost_estimate=pl.CostEstimate(
+                flops=flops, bytes_accessed=x.size * 2 + offset.size * 4,
+                transcendentals=0,
+            ),
+            # two whole padded images + streamed offset/mask/out blocks sit
+            # ~1 MB over the default 16 MB scoped-vmem limit; v5e has far
+            # more physical VMEM, so raise the cap for this kernel
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=48 * 1024 * 1024
+            ),
+            interpret=bool(interpret),
+        )(x_flat, off_flat, msk_flat, w_k)
+    else:
+        out_flat = pl.pallas_call(
+            kernel,
+            grid=(n, n_row_blocks),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, c, hp * LANE), lambda b, i: (b, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 2 * g * k, tr * LANE), lambda b, i: (b, 0, i),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, g * k, tr * LANE), lambda b, i: (b, 0, i),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, c_out, tr * LANE), lambda b, i: (b, 0, i),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(
-                (1, g * k, tr * LANE), lambda b, i: (b, 0, i),
-                memory_space=pltpu.VMEM,
+            out_shape=jax.ShapeDtypeStruct((n, c_out, h * LANE), jnp.float32),
+            cost_estimate=pl.CostEstimate(
+                flops=flops, bytes_accessed=x.size * 2 + offset.size * 4,
+                transcendentals=0,
             ),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, c_out, tr * LANE), lambda b, i: (b, 0, i),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((n, c_out, h * LANE), jnp.float32),
-        cost_estimate=pl.CostEstimate(
-            flops=flops, bytes_accessed=x.size * 2 + offset.size * 4,
-            transcendentals=0,
-        ),
-        scratch_shapes=scratch,
-        interpret=bool(interpret),
-    )(x_flat, off_flat, msk_flat, w_k)
+            scratch_shapes=scratch,
+            interpret=bool(interpret),
+        )(x_flat, off_flat, msk_flat, w_k)
 
     out = out_flat.reshape(n, c_out, h, LANE)[:, :, :, margin : margin + w]
     out = out.transpose(0, 2, 3, 1).astype(x.dtype)
