@@ -54,6 +54,10 @@ def build(dtype, int8: bool, max_off: int, use_pallas: bool):
         extra=W48_EXTRA, num_joints=17, dtype=dtype,
         dcn_max_offset=max_off, use_pallas_dcn=use_pallas,
         backbone_quant="int8" if int8 else "off",
+        # global-alignment warp: "matmul" (MXU selection-matrix form, the
+        # default) | "pallas" | "slice"; own knob so the DCN kernels and the
+        # warp can be A/B'd independently
+        warp_impl=os.environ.get("BENCH_WARP_IMPL", "matmul"),
     )
 
 

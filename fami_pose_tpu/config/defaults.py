@@ -92,6 +92,17 @@ def get_default_cfg() -> CfgNode:
             "INT8_CALIB_BATCHES": 2,
             # headroom factor on calibrated activation absmax
             "INT8_CALIB_MARGIN": 1.0,
+            # global-alignment translation-warp implementation:
+            #   "slice"  - vmapped dynamic_slice (the parity reference)
+            #   "matmul" - MXU selection-matrix form, ~5.6x on-chip with
+            #              identical semantics (ops.warp.warp_translate_matmul)
+            #   "pallas" - fused kernel (ops/pallas/warp.py); matches matmul
+            #              op-level but its custom-call layout constraint is
+            #              slower in-graph
+            "WARP_IMPL": "matmul",
+            # clamp for translations under matmul/pallas ("slice" clamps at
+            # 32; pallas lane budget: W + 2*(shift+1) <= 128 at W=72)
+            "WARP_MAX_SHIFT": 26,
         }
     )
 

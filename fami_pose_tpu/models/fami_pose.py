@@ -29,6 +29,7 @@ see the window logic at ``PoseTrack_Alignment.py:311-359``); the reference
 hardcodes the resulting ``48*4`` aggregation width, here it is derived.
 """
 
+import functools
 from typing import Any, Dict
 
 import flax.linen as nn
@@ -213,6 +214,14 @@ class FAMIPose(nn.Module):
     # int8 serving mode for the backbone convs ("off" | "calibrate" | "int8");
     # non-parity eval fast path, see models/quant.py + TPU.INT8_EVAL
     backbone_quant: str = "off"
+    # global-alignment warp implementation: "slice" (vmapped dynamic_slice,
+    # the parity reference), "matmul" (MXU selection-matrix form — 5.6x on
+    # chip, identical semantics; see ops.warp.warp_translate_matmul), or
+    # "pallas" (fused kernel, ops/pallas/warp.py — matches matmul op-level
+    # but its custom-call layout constraint is slower in-graph)
+    warp_impl: str = "matmul"
+    # clamp for translations under matmul/pallas ("slice" clamps at 32)
+    warp_max_shift: int = 26
 
     @classmethod
     def from_config(cls, cfg, phase: str = TRAIN_PHASE, **kwargs):
@@ -258,6 +267,8 @@ class FAMIPose(nn.Module):
             ),
             remat_backbone=bool(cfg.TPU.REMAT_BACKBONE),
             backbone_quant=backbone_quant,
+            warp_impl=str(getattr(cfg.TPU, "WARP_IMPL", "matmul")),
+            warp_max_shift=int(getattr(cfg.TPU, "WARP_MAX_SHIFT", 26)),
         )
 
     @staticmethod
@@ -298,6 +309,19 @@ class FAMIPose(nn.Module):
         sup_feats = [feat[(i + 1) * b : (i + 2) * b] for i in range(num_sup)]
 
         offset_head = GlobalOffsetHead(dtype=self.dtype, name="global_offset")
+        if self.warp_impl == "matmul":
+            from fami_pose_tpu.ops.warp import warp_translate_matmul
+
+            warp_fn = functools.partial(
+                warp_translate_matmul, max_shift=self.warp_max_shift
+            )
+        elif self.warp_impl == "pallas":
+            from fami_pose_tpu.ops.pallas.warp import make_warp_translate_fn
+
+            warp_fn = make_warp_translate_fn(max_shift=self.warp_max_shift)
+        else:
+            assert self.warp_impl == "slice", self.warp_impl
+            warp_fn = warp_translate
         sup_warped_hms = []
         if train:
             # per-sup calls, like the reference loop (Alignment_V15.py:127-141):
@@ -305,7 +329,7 @@ class FAMIPose(nn.Module):
             aligned = []
             for i in range(num_sup):
                 off = offset_head(sup_feats[i] - kf_feat, train)  # (B, 2)
-                ga = warp_translate(sup_feats[i], off)
+                ga = warp_fn(sup_feats[i], off)
                 aligned.append(ga)
                 # per-sup auxiliary heatmap through the shared final layer
                 # (4-output contract, alignment_mi_function_term6_1.py:104,112-116)
@@ -317,7 +341,7 @@ class FAMIPose(nn.Module):
             all_sup = feat[b:]  # sup features are contiguous after kf
             diffs = all_sup - jnp.tile(kf_feat, (num_sup, 1, 1, 1))
             offs = offset_head(diffs, train)  # (num_sup*B, 2)
-            ga_all = warp_translate(all_sup, offs)
+            ga_all = warp_fn(all_sup, offs)
             aligned = [ga_all[i * b : (i + 1) * b] for i in range(num_sup)]
 
         # the head chains share the backbone's int8 serving mode (their

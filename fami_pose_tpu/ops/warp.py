@@ -96,6 +96,53 @@ def warp_translate(images, offsets, out_hw=None, max_shift: int = 32):
     return jax.vmap(one)(pad, t0, f)
 
 
+def warp_translate_matmul(images, offsets, max_shift: int = 32):
+    """``warp_translate`` as two batched matmuls on the MXU.
+
+    A pure translation is a separable linear map: ``out = Ry @ X @ Cx^T``
+    with per-image bilinear selection matrices (two nonzeros per row,
+    built from iota comparisons — no gather, no dynamic slice). This is
+    the TPU-native formulation: XLA keeps full layout freedom (the
+    vmapped-``dynamic_slice`` form costs ~43 ms/batch-512 in per-image
+    while loops; a Pallas kernel matches the matmul op-level but its
+    custom-call layout constraint triggers module-wide relayout copies of
+    the backbone features — see docs/PERFORMANCE.md round 3).
+
+    Natively differentiable: cotangents flow to ``offsets`` through the
+    fractional weights exactly as in ``warp_translate``. f32 inputs use
+    HIGHEST-precision matmuls (1 ulp vs ``warp_translate`` — the row/column
+    blend order differs); bf16 inputs blend at bf16 like the reference path.
+
+    Args:
+      images: (N, H, W, C).
+      offsets: (N, 2) translations (tx, ty) in destination pixels,
+        clamped to ``±max_shift`` (same clamp as ``warp_translate``).
+    """
+    n, h, w, c = images.shape
+    t = jnp.clip(offsets.astype(jnp.float32), -max_shift, max_shift)
+
+    def sel(out_len, shift):
+        # S[n, i, j] = f*(j == i - s0 - 1) + (1 - f)*(j == i - s0):
+        # row i picks source i - s0 (weight 1-f) and i - s0 - 1 (weight f);
+        # out-of-range sources leave zero rows = zero-padding semantics
+        s0 = jnp.floor(shift)
+        fr = (shift - s0)[:, None, None]
+        i = jax.lax.broadcasted_iota(jnp.int32, (1, out_len, out_len), 1)
+        j = jax.lax.broadcasted_iota(jnp.int32, (1, out_len, out_len), 2)
+        base = i - s0.astype(jnp.int32)[:, None, None]
+        return fr * (j == base - 1) + (1 - fr) * (j == base)
+
+    ry = sel(h, t[:, 1]).astype(images.dtype)
+    cx = sel(w, t[:, 0]).astype(images.dtype)
+    prec = (
+        jax.lax.Precision.HIGHEST
+        if images.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+    rows = jnp.einsum("nyj,njqc->nyqc", ry, images, precision=prec)
+    return jnp.einsum("nyqc,nxq->nyxc", rows, cx, precision=prec)
+
+
 def bilinear_sample(img, sx, sy):
     """Bilinearly sample (H, W, C) ``img`` at float coords; zeros outside.
 

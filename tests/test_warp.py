@@ -93,3 +93,78 @@ def test_warp_translate_integer_shift(rng):
     # dst(x, y) = src(x-2, y-1): the peak moves from (3,2) to (5,3)
     assert out[0, 3, 5, 0] == pytest.approx(1.0)
     assert out.sum() == pytest.approx(1.0)
+
+
+def test_warp_translate_matmul_matches_slice(rng):
+    """MXU selection-matrix warp == vmapped-dynamic_slice warp to 1 ulp
+    (row/column blend order differs, so f32 intermediates round once more).
+
+    Covers integer, fractional, negative, zero, and beyond-clamp shifts.
+    """
+    import jax
+    import jax.numpy as jnp
+    from fami_pose_tpu.ops.warp import warp_translate, warp_translate_matmul
+
+    n, h, w, c = 8, 24, 20, 6
+    imgs = jnp.asarray(rng.rand(n, h, w, c).astype(np.float32))
+    offs = np.array(
+        [
+            [0.0, 0.0],
+            [3.0, -5.0],
+            [0.5, -1.25],
+            [-7.75, 7.75],
+            [26.0, -26.0],
+            [40.0, -40.0],  # beyond the clamp
+            [-0.01, 0.01],
+            [12.3, 4.7],
+        ],
+        np.float32,
+    )
+    offs = jnp.asarray(offs)
+    ref = jax.jit(lambda a, b: warp_translate(a, b, max_shift=26))(imgs, offs)
+    got = jax.jit(lambda a, b: warp_translate_matmul(a, b, max_shift=26))(
+        imgs, offs
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=3e-7, atol=2e-7
+    )
+
+
+def test_warp_translate_matmul_bf16(rng):
+    """bf16 path blends at bf16 like the reference; 1-2 ulp tolerance."""
+    import jax.numpy as jnp
+    from fami_pose_tpu.ops.warp import warp_translate, warp_translate_matmul
+
+    n, h, w, c = 4, 16, 12, 8
+    imgs = jnp.asarray(rng.rand(n, h, w, c), jnp.bfloat16)
+    offs = jnp.asarray((rng.rand(n, 2) * 20 - 10).astype(np.float32))
+    ref = np.asarray(warp_translate(imgs, offs, max_shift=26), np.float32)
+    got = np.asarray(warp_translate_matmul(imgs, offs, max_shift=26), np.float32)
+    assert np.abs(got - ref).max() <= 2.0 ** -6
+
+
+def test_warp_translate_matmul_gradients_match(rng):
+    """Image AND offset cotangents must match jax.grad of warp_translate."""
+    import jax
+    import jax.numpy as jnp
+    from fami_pose_tpu.ops.warp import warp_translate, warp_translate_matmul
+
+    n, h, w, c = 2, 10, 9, 3
+    imgs = jnp.asarray(rng.rand(n, h, w, c).astype(np.float32))
+    offs = jnp.asarray(np.array([[1.4, -2.6], [-0.3, 3.7]], np.float32))
+
+    def loss(fn, im, of):
+        return jnp.sum(jnp.sin(fn(im, of, max_shift=26)))
+
+    g_ref = jax.grad(lambda im, of: loss(warp_translate, im, of), (0, 1))(
+        imgs, offs
+    )
+    g_got = jax.grad(
+        lambda im, of: loss(warp_translate_matmul, im, of), (0, 1)
+    )(imgs, offs)
+    np.testing.assert_allclose(
+        np.asarray(g_got[0]), np.asarray(g_ref[0]), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(g_got[1]), np.asarray(g_ref[1]), rtol=1e-4, atol=1e-5
+    )

@@ -93,6 +93,56 @@ def main():
     print(f"{status}: worst relative delta {worst:.3e} "
           f"(threshold 1e-3 of output range at default MXU precision)")
 
+    warp_parity()
+
+
+def warp_parity():
+    """Fused Pallas warp AND MXU matmul warp vs the XLA ``warp_translate``
+    path — on-chip, FAMI feature scale. f32 is bit-exact for both (pallas:
+    pure VPU blend; matmul: HIGHEST precision, two nonzeros per row); bf16
+    differs by one output rounding."""
+    from fami_pose_tpu.ops.warp import warp_translate, warp_translate_matmul
+    from fami_pose_tpu.ops.pallas.warp import warp_translate_pallas
+
+    n, h, w, c = 32, 96, 72, 48
+    rng = np.random.RandomState(7)
+    offs = jnp.asarray(
+        np.concatenate(
+            [
+                np.array([[0, 0], [3, -5], [0.5, -1.25], [40, -40]], np.float32),
+                rng.uniform(-20, 20, (n - 4, 2)).astype(np.float32),
+            ]
+        )
+    )
+    print(f"\n--- warp_translate: Pallas + matmul vs XLA (batch {n}) ---")
+    worst = 0.0
+    for dt, tols, label in [
+        # pallas f32 is bit-exact (same blend order); matmul rounds once
+        # more (row-then-column blend) -> 1 ulp
+        (jnp.float32, {"pallas": 0.0, "matmul": 2.4e-7}, "f32"),
+        (jnp.bfloat16, {"pallas": 2 ** -7, "matmul": 2 ** -6}, "bf16"),
+    ]:
+        imgs = jnp.asarray(rng.rand(n, h, w, c), dt)
+        ref = np.asarray(
+            jax.jit(lambda a, b: warp_translate(a, b, max_shift=26))(imgs, offs),
+            np.float32,
+        )
+        for impl, fn in (
+            ("pallas",
+             lambda a, b: warp_translate_pallas(a, b, max_shift=26)),
+            ("matmul", jax.jit(
+                lambda a, b: warp_translate_matmul(a, b, max_shift=26))),
+        ):
+            tol = tols[impl]
+            got = np.asarray(fn(imgs, offs), np.float32)
+            d = np.abs(ref - got).max()
+            ok = d <= tol
+            worst = max(worst, 0.0 if ok else d)
+            print(f"{impl:7s} {label:20s} max|d| {d:.3e} (tol {tol:g}) "
+                  f"{'PASS' if ok else 'FAIL'}")
+    if worst:
+        print(f"FAIL: warp parity worst delta {worst:.3e}")
+
 
 if __name__ == "__main__":
     main()

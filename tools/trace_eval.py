@@ -64,6 +64,10 @@ def main():
     p.add_argument("--batch", type=int, default=128)
     p.add_argument("--iters", type=int, default=5)
     p.add_argument("--int8", action="store_true")
+    p.add_argument("--dcn", type=int, default=4)
+    p.add_argument("--warp-impl", default="matmul",
+                   choices=("slice", "matmul", "pallas"),
+                   help="global-alignment warp implementation")
     p.add_argument("--out", default="/tmp/eval_trace")
     p.add_argument("--top", type=int, default=25)
     args = p.parse_args()
@@ -73,8 +77,9 @@ def main():
 
     model = FAMIPose(
         extra=W48_EXTRA, num_joints=17, dtype=jnp.bfloat16,
-        dcn_max_offset=4, use_pallas_dcn=True,
+        dcn_max_offset=args.dcn, use_pallas_dcn=True,
         backbone_quant="int8" if args.int8 else "off",
+        warp_impl=args.warp_impl,
     )
     b, h, w, n_sup = args.batch, 384, 288, 4
     rng = np.random.RandomState(0)
