@@ -72,10 +72,11 @@ def main():
     use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
     int8_headline = os.environ.get("BENCH_INT8", "0") == "1"
     extras = os.environ.get("BENCH_EXTRAS", "1") == "1"
-    # parity default D=4; the int8 serving mode uses D=2 (zero measured AP
-    # delta at the model's offset distribution, docs/DCN_OFFSET_BOUND.md)
+    # parity default D=4; the int8 serving mode uses D=1 (zero measured
+    # end-to-end AP delta at the model's offset distribution — same result
+    # as D=2/D=4; docs/DCN_OFFSET_BOUND.md)
     d_parity = int(os.environ.get("BENCH_DCN_MAX_OFFSET", "4"))
-    d_int8 = int(os.environ.get("BENCH_DCN_MAX_OFFSET", "2"))
+    d_int8 = int(os.environ.get("BENCH_DCN_MAX_OFFSET", "1"))
 
     h, w, n_sup = 384, 288, 4
     rng = np.random.RandomState(0)
