@@ -285,13 +285,39 @@ class FAMIPose(nn.Module):
         return param
 
     @nn.compact
-    def __call__(self, kf_x, sup_x, train: bool = False):
-        c = self.feat_channels
-        # normalize <=0 -> None (exact gather path) here as well as in
-        # from_config, so direct construction behaves identically (ADVICE r2)
-        dcn_max_offset = self.dcn_max_offset
-        if dcn_max_offset is not None and int(dcn_max_offset) <= 0:
-            dcn_max_offset = None
+    def __call__(self, kf_x, sup_x, train: bool = False, mode: str = "full"):
+        """``mode`` selects the serving split (streaming feature cache):
+
+          * ``"full"`` — the reference contract: ``(kf_x, sup_x)`` images in,
+            heatmaps out. Internally = ``features`` on the folded frame batch
+            followed by ``head`` (exact composition, tested bitwise).
+          * ``"features"`` — ``kf_x`` is a flat frame batch ``(M, H, W, 3)``
+            (``sup_x`` ignored, pass ``None``); returns the per-frame backbone
+            outputs ``(bb_hm, feat)``. In video serving these are computed
+            ONCE per frame and cached across the ~(1+num_sup) sliding windows
+            each frame appears in (engine/streaming.py) — the reference
+            recomputes them per keyframe (``Alignment_V15.py:113-122``).
+          * ``"head"`` — eval-only: ``kf_x`` is the folded feature array
+            ``((1+num_sup)*B, Hf, Wf, C)`` laid out ``[key, sup1, ...]`` like
+            the full path's fold; ``sup_x`` is the key frame's backbone
+            heatmap ``(B, Hh, Wh, J)``. Returns ``(final_hm, kf_bb_hm)``.
+        """
+        if mode == "features":
+            hrnet = HRNet(
+                extra=self.extra, num_joints=self.num_joints,
+                dtype=self.dtype, remat=self.remat_backbone,
+                quant=self.backbone_quant, name="hrnet",
+            )
+            bb_hm, bb_feats = hrnet(kf_x, train)
+            return bb_hm, bb_feats[0]
+        if mode == "head":
+            assert not train, "head mode is a serving (eval-only) path"
+            feat = kf_x
+            kf_bb_hm = sup_x
+            b = kf_bb_hm.shape[0]
+            num_sup = feat.shape[0] // b - 1
+            return self._head(feat, kf_bb_hm, b, num_sup, False, None)
+        assert mode == "full", mode
         b = kf_x.shape[0]
         num_sup = sup_x.shape[-1] // 3
         hrnet = HRNet(
@@ -305,6 +331,19 @@ class FAMIPose(nn.Module):
         bb_hm, bb_feats = hrnet(x, train)
         feat = bb_feats[0]
         kf_bb_hm = bb_hm[:b]
+        return self._head(feat, kf_bb_hm, b, num_sup, train, hrnet)
+
+    def _head(self, feat, kf_bb_hm, b, num_sup, train, hrnet):
+        """Everything after the backbone (global + local alignment, fusion,
+        final heatmap, train-mode MI terms). Called from the compact
+        ``__call__`` only; submodule names are unchanged from round 1/2 so
+        checkpoints and the torch remap are unaffected."""
+        c = self.feat_channels
+        # normalize <=0 -> None (exact gather path) here as well as in
+        # from_config, so direct construction behaves identically (ADVICE r2)
+        dcn_max_offset = self.dcn_max_offset
+        if dcn_max_offset is not None and int(dcn_max_offset) <= 0:
+            dcn_max_offset = None
         kf_feat = feat[:b]
         sup_feats = [feat[(i + 1) * b : (i + 2) * b] for i in range(num_sup)]
 

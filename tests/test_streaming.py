@@ -1,0 +1,143 @@
+"""Streaming serving (engine/streaming.py): split exactness + cache reuse.
+
+The mode="features"/"head" split and the rolling-buffer streaming step must
+reproduce the full forward bitwise (given identical per-frame crops — the
+"crop-locked" regime the module docstring defines). The reference has no
+streaming path; the batch forward (``Alignment_V15.py:113-163``) is the
+oracle here.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fami_pose_tpu.engine.streaming import (
+    StreamingPosePredictor,
+    init_state,
+    make_step,
+    window_order,
+)
+from fami_pose_tpu.models.fami_pose import FAMIPose
+from fami_pose_tpu.models.hrnet import TINY_EXTRA
+
+B, H, W = 2, 64, 64
+DISTANCE = 3
+NUM_SUP = 2 * (DISTANCE - 1)
+
+
+@pytest.fixture(scope="module")
+def model_and_vars():
+    m = FAMIPose(
+        extra=TINY_EXTRA, num_joints=17, feat_channels=8, dcn_offset_groups=4
+    )
+    kf = jnp.zeros((B, H, W, 3))
+    sup = jnp.zeros((B, H, W, 3 * NUM_SUP))
+    v = m.init(jax.random.PRNGKey(0), kf, sup, train=False)
+    return m, v
+
+
+def _frames(rng, n):
+    """n consecutive video frames per stream: (n, B, H, W, 3)."""
+    return jnp.asarray(rng.rand(n, B, H, W, 3).astype(np.float32))
+
+
+def _clip_inputs(frames, t, distance=DISTANCE):
+    """Build the batch-protocol (kf_x, sup_x) for key frame t, with
+    clamp-to-first boundary (matching the primed streaming buffer)."""
+    deltas = list(range(distance - 1, 0, -1))  # prev farthest-first
+    sup_ts = [max(t - d, 0) for d in deltas] + [
+        t + d for d in range(1, distance)
+    ]
+    sup = jnp.concatenate([frames[s] for s in sup_ts], axis=-1)
+    return frames[t], sup
+
+
+def test_window_order():
+    assert window_order(3) == [2, 0, 1, 3, 4]
+    assert window_order(2) == [1, 0, 2]
+
+
+def test_features_head_composition_is_exact(model_and_vars, rng):
+    """full forward == features -> fold -> head, bitwise."""
+    m, v = model_and_vars
+    kf = jnp.asarray(rng.rand(B, H, W, 3).astype(np.float32))
+    sup = jnp.asarray(rng.rand(B, H, W, 3 * NUM_SUP).astype(np.float32))
+    full_hm, full_kf_bb = m.apply(v, kf, sup, train=False)
+
+    x = jnp.concatenate([kf] + jnp.split(sup, NUM_SUP, axis=-1), axis=0)
+    bb_hm, feat = m.apply(v, x, None, train=False, mode="features")
+    split_hm, split_kf_bb = m.apply(
+        v, feat, bb_hm[:B], train=False, mode="head"
+    )
+    np.testing.assert_array_equal(np.asarray(full_hm), np.asarray(split_hm))
+    np.testing.assert_array_equal(
+        np.asarray(full_kf_bb), np.asarray(split_kf_bb)
+    )
+
+
+def test_streaming_matches_batch_protocol(model_and_vars, rng):
+    """Feed a 7-frame video through the jitted streaming step; every emitted
+    key frame must equal the batch forward on the same (crop-locked) window.
+    Interior frames are exact; boundary frames use the clamp-to-first
+    convention that _clip_inputs reproduces."""
+    m, v = model_and_vars
+    n = 7
+    frames = _frames(rng, n)
+    step = jax.jit(make_step(m, v, DISTANCE))
+    state = init_state(m, v, frames[0], DISTANCE)
+
+    emitted = {}
+    for t in range(n):
+        state, (hm, kf_bb) = step(state, frames[t])
+        key_t = t - (DISTANCE - 1)
+        if key_t >= 0:
+            emitted[key_t] = (np.asarray(hm), np.asarray(kf_bb))
+
+    for key_t in range(n - (DISTANCE - 1)):
+        kf, sup = _clip_inputs(frames, key_t)
+        ref_hm, ref_kf_bb = m.apply(v, kf, sup, train=False)
+        got_hm, got_kf_bb = emitted[key_t]
+        # the jitted step is one fused graph; XLA's fusion choices round
+        # differently from the eager oracle at f32-epsilon level (the
+        # op-by-op composition above IS bitwise)
+        np.testing.assert_allclose(np.asarray(ref_hm), got_hm, atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(ref_kf_bb), got_kf_bb, atol=1e-5
+        )
+
+
+def test_streaming_flip_test_mode(model_and_vars, rng):
+    """flip_test=True averages with the flipped-window head pass, matching
+    the batch pipeline's flip-test combination."""
+    from fami_pose_tpu.data.keypoints import COCO_FLIP_PAIRS
+    from fami_pose_tpu.ops.pose import flip_back_nhwc
+
+    m, v = model_and_vars
+    n = 5
+    frames = _frames(rng, n)
+    step = jax.jit(make_step(m, v, DISTANCE, flip_test=True))
+    state = init_state(m, v, frames[0], DISTANCE, flip_test=True)
+    for t in range(n):
+        state, (hm, _) = step(state, frames[t])
+
+    key_t = n - (DISTANCE - 1) - 1
+    kf, sup = _clip_inputs(frames, key_t)
+    ref, _ = m.apply(v, kf, sup, train=False)
+    ref_f, _ = m.apply(
+        v, kf[:, :, ::-1, :], sup[:, :, ::-1, :], train=False
+    )
+    want = (ref + flip_back_nhwc(ref_f, COCO_FLIP_PAIRS)) * 0.5
+    np.testing.assert_allclose(np.asarray(hm), np.asarray(want), atol=1e-5)
+
+
+def test_predictor_wrapper(model_and_vars, rng):
+    m, v = model_and_vars
+    frames = _frames(rng, 4)
+    pred = StreamingPosePredictor(m, v, distance=DISTANCE)
+    pred.prime(frames[0])
+    for t in range(4):
+        hm, kf_bb = pred(frames[t])
+    assert hm.shape[0] == B and kf_bb.shape[0] == B
+    assert np.isfinite(np.asarray(hm, dtype=np.float32)).all()
