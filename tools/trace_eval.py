@@ -70,6 +70,9 @@ def main():
                    help="global-alignment warp implementation")
     p.add_argument("--out", default="/tmp/eval_trace")
     p.add_argument("--top", type=int, default=25)
+    p.add_argument("--streaming", action="store_true",
+                   help="trace the streaming step (engine/streaming.py) "
+                        "instead of the batch forward")
     args = p.parse_args()
 
     from fami_pose_tpu.models.fami_pose import FAMIPose
@@ -99,18 +102,34 @@ def main():
             )
         )(variables, kf[:8], sup[:8])
 
-    @jax.jit
-    def fwd(v, a, bb):
-        final, _ = model.apply(v, a, bb, train=False)
-        return final.astype(jnp.float32)
+    if args.streaming:
+        from fami_pose_tpu.engine.streaming import init_state, make_step
 
-    np.asarray(fwd(variables, kf, sup))  # compile+warm
+        sstep = jax.jit(make_step(model, variables, 3))
+        state = jax.jit(
+            lambda f: init_state(model, variables, f, 3)
+        )(kf)
+        state, (out0, _) = sstep(state, kf)
+        np.asarray(out0)  # compile+warm
 
-    os.system(f"rm -rf {args.out}")
-    with jax.profiler.trace(args.out):
-        for _ in range(args.iters):
-            out = fwd(variables, kf, sup)
-        np.asarray(out)
+        os.system(f"rm -rf {args.out}")
+        with jax.profiler.trace(args.out):
+            for _ in range(args.iters):
+                state, (out, _) = sstep(state, kf)
+            np.asarray(out)
+    else:
+        @jax.jit
+        def fwd(v, a, bb):
+            final, _ = model.apply(v, a, bb, train=False)
+            return final.astype(jnp.float32)
+
+        np.asarray(fwd(variables, kf, sup))  # compile+warm
+
+        os.system(f"rm -rf {args.out}")
+        with jax.profiler.trace(args.out):
+            for _ in range(args.iters):
+                out = fwd(variables, kf, sup)
+            np.asarray(out)
 
     traces = glob.glob(f"{args.out}/**/*.trace.json.gz", recursive=True)
     assert traces, f"no trace written under {args.out}"
