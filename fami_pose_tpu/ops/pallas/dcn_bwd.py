@@ -39,8 +39,16 @@ def _bwd_fwdside_kernel(
     x_ref, off_ref, msk_ref, w_ref, g_ref, doff_ref, dmsk_ref, dw_ref,
     *, kh, kw, dil, pad, d_max, groups, cg, tr, c_in, c_out, margin,
 ):
-    """dW / dmask / doffset: block-rows only (no halos)."""
-    s_win = 2 * d_max + 2
+    """dW / dmask / doffset: block-rows only (no halos).
+
+    Both window loops run the TIGHT support 2D+1 (same proof as the forward
+    v3 kernel, ops/pallas/dcn.py:_dcn_kernel_v3): with the clamped offset in
+    [-D, D], the hat weight at the D+1 cell is identically zero (hat(-1) = 0
+    at the boundary) and so is its derivative factor (|u| >= 1 kills the
+    (|u| < 1) gate), so the dropped iteration contributed exact zeros to
+    every accumulator — bit-identical output, (2D+1)^2/(2D+2)^2 of the work.
+    """
+    s_win = 2 * d_max + 1
     row0 = pl.program_id(1) * tr
     trwp = tr * LANE
 
@@ -147,8 +155,11 @@ def _bwd_dx_kernel(
     of the shift is a (dy-dependent) lane-aligned slice of per-tap-staged
     dcol and of the offset/mask REFS; the sub-tile column part is one roll
     of the final product — no per-term scratch round-trips.
+
+    Tight 2D+1 window on both loops (see _bwd_fwdside_kernel docstring):
+    wy/wx vanish identically at the D+1 cell, so dropping it is bit-exact.
     """
-    s_win = 2 * d_max + 2
+    s_win = 2 * d_max + 1
     trwp = tr * LANE
     thw = (tr + 2 * margin) * LANE
 
