@@ -75,9 +75,11 @@ def window_order(distance: int) -> List[int]:
 
 
 def init_state(model, variables, first_frames, distance: int,
-               flip_test: bool = False) -> StreamState:
+               flip_test: bool = False, mesh=None) -> StreamState:
     """Prime the rolling buffer by replicating the first frame's features
-    into every slot (clamp-to-first boundary; see module docstring)."""
+    into every slot (clamp-to-first boundary; see module docstring).
+    With ``mesh`` the primed buffers are placed stream-sharded over the
+    data axis (:func:`stream_shardings`)."""
     bb_hm, feat = model.apply(
         variables, first_frames, None, train=False, mode="features"
     )
@@ -93,16 +95,52 @@ def init_state(model, variables, first_frames, distance: int,
             train=False, mode="features",
         )
         state = state._replace(feats_f=jnp.tile(feat_f[None], (w, 1, 1, 1, 1)))
+    if mesh is not None:
+        state_sh, _ = stream_shardings(mesh, flip_test=flip_test)
+        state = jax.device_put(state, state_sh)
     return state
 
 
+def stream_shardings(mesh, flip_test: bool = False):
+    """``(state_shardings, frames_sharding)`` for serving ``B`` parallel
+    streams data-parallel over ``mesh``: every window buffer is sharded on
+    its stream axis (dim 1), ``pos`` replicated, frames on their batch
+    axis. The streaming step is elementwise across streams, so the sharded
+    step lowers with zero collectives — each chip serves ``B/n_data``
+    independent video streams."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from fami_pose_tpu.parallel.mesh import DATA_AXIS
+
+    buf = NamedSharding(mesh, P(None, DATA_AXIS))
+    rep = NamedSharding(mesh, P())
+    frames = NamedSharding(mesh, P(DATA_AXIS))
+    state = StreamState(
+        feats=buf, bb_hms=buf, pos=rep,
+        feats_f=buf if flip_test else None,
+    )
+    return state, frames
+
+
 def make_step(model, variables, distance: int, flip_test: bool = False,
-              flip_pairs=COCO_FLIP_PAIRS):
+              flip_pairs=COCO_FLIP_PAIRS, flip_batched: bool = False,
+              mesh=None):
     """Build the (jittable) streaming step.
 
     ``step(state, frames) -> (state', (final_hm, kf_bb_hm))`` where
     ``frames`` is the next frame of each stream, NHWC ``(B, H, W, 3)``, and
     the outputs correspond to key frame ``t - (distance - 1)``.
+
+    With ``mesh`` the returned step is jitted with the streams sharded over
+    the mesh's data axis (see :func:`stream_shardings`) — multi-chip
+    serving, B/n_data streams per chip, no cross-chip collectives.
+
+    ``flip_batched`` folds the flipped frames into the SAME backbone/head
+    calls (batch ``2B`` instead of two ``B`` calls) — equivalent under
+    eval-mode BN (running stats are batch-size independent) up to XLA
+    fusion rounding (~1e-6 f32; different batch sizes fuse differently),
+    fewer dispatches and inter-op bubbles. Default follows the measured
+    winner on v5e — see docs/PERFORMANCE.md (streaming pipeline).
     """
     lat = distance - 1
     w = 2 * distance - 1
@@ -126,13 +164,53 @@ def make_step(model, variables, distance: int, flip_test: bool = False,
         )
 
     def step(state: StreamState, frames) -> Tuple[StreamState, Tuple]:
+        pos = state.pos
+        key_slot = jnp.mod(pos - lat, w)
+        b = frames.shape[0]
+        if flip_test and flip_batched:
+            # one 2B backbone call over [frames; flipped frames] and one
+            # (1+num_sup)*2B head call: bit-equivalent to the paired form
+            # (eval-mode BN uses running stats), fewer dispatches
+            both = jnp.concatenate([frames, frames[:, :, ::-1, :]], axis=0)
+            bb_hm2, feat2 = model.apply(
+                variables, both, None, train=False, mode="features"
+            )
+            feats = _write(state.feats, feat2[:b], pos)
+            feats_f = _write(state.feats_f, feat2[b:], pos)
+            bb_hms = _write(state.bb_hms, bb_hm2[:b], pos)
+            kf_bb = jax.lax.dynamic_index_in_dim(
+                bb_hms, key_slot, 0, keepdims=False
+            )
+            fold_n = _fold(feats, key_slot)  # ((1+S)*B, ...)
+            fold_f = _fold(feats_f, key_slot)
+            # interleave to the fold layout of a 2B batch: [key(2B), sup1(2B)...]
+            s1 = len(rel)  # 1 + num_sup window frames
+            fold2 = jnp.concatenate(
+                [
+                    jnp.concatenate(
+                        [fold_n[i * b : (i + 1) * b], fold_f[i * b : (i + 1) * b]],
+                        axis=0,
+                    )
+                    for i in range(s1)
+                ],
+                axis=0,
+            )
+            kf_bb2 = jnp.concatenate([kf_bb, kf_bb], axis=0)
+            final2, _ = model.apply(
+                variables, fold2, kf_bb2, train=False, mode="head"
+            )
+            final = (
+                final2[:b] + flip_back_nhwc(final2[b:], flip_pairs)
+            ) * 0.5
+            return (
+                StreamState(feats, bb_hms, jnp.mod(pos + 1, w), feats_f),
+                (final, kf_bb),
+            )
         bb_hm, feat = model.apply(
             variables, frames, None, train=False, mode="features"
         )
-        pos = state.pos
         feats = _write(state.feats, feat, pos)
         bb_hms = _write(state.bb_hms, bb_hm, pos)
-        key_slot = jnp.mod(pos - lat, w)
         kf_bb = jax.lax.dynamic_index_in_dim(
             bb_hms, key_slot, 0, keepdims=False
         )
@@ -156,7 +234,19 @@ def make_step(model, variables, distance: int, flip_test: bool = False,
             (final, kf_bb),
         )
 
-    return step
+    if mesh is None:
+        return step
+    state_sh, frames_sh = stream_shardings(mesh, flip_test=flip_test)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from fami_pose_tpu.parallel.mesh import DATA_AXIS
+
+    out_sh = NamedSharding(mesh, P(DATA_AXIS))
+    return jax.jit(
+        step,
+        in_shardings=(state_sh, frames_sh),
+        out_shardings=(state_sh, (out_sh, out_sh)),
+    )
 
 
 class StreamingPosePredictor:
@@ -168,20 +258,22 @@ class StreamingPosePredictor:
     """
 
     def __init__(self, model, variables, distance: int = 3,
-                 flip_test: bool = False):
+                 flip_test: bool = False, flip_batched: bool = False,
+                 mesh=None):
         self.distance = distance
         self.flip_test = flip_test
         self._model = model
         self._variables = variables
-        self._step = jax.jit(
-            make_step(model, variables, distance, flip_test=flip_test)
-        )
+        self._mesh = mesh
+        step = make_step(model, variables, distance, flip_test=flip_test,
+                         flip_batched=flip_batched, mesh=mesh)
+        self._step = step if mesh is not None else jax.jit(step)
         self._state = None
 
     def prime(self, first_frames):
         self._state = init_state(
             self._model, self._variables, first_frames, self.distance,
-            flip_test=self.flip_test,
+            flip_test=self.flip_test, mesh=self._mesh,
         )
 
     def __call__(self, frames):

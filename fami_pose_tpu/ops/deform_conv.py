@@ -236,10 +236,13 @@ def deform_conv2d_windowed(
     ``p + t`` equals ``sum_d hat(t - d) * x[p + d]`` over integer
     displacements ``d``, where ``hat(u) = max(0, 1 - |u|)`` is nonzero for
     at most the two integers flanking ``t``. With ``|t| <= D`` the sum has
-    static support ``d in [-D, D+1]``, so the kernel becomes
-    ``(2D+2)^2`` statically-shifted, per-pixel-weighted accumulations
-    (VPU elementwise) feeding one im2col matmul (MXU) — no dynamic
-    addressing anywhere, and trivially differentiable.
+    TIGHT static support ``d in [-D, D]``: at ``d = D + 1`` the hat weight
+    is identically zero (``t <= D`` puts ``|t - d| >= 1`` on the boundary
+    where ``hat`` vanishes), so the kernel becomes ``(2D+1)^2``
+    statically-shifted, per-pixel-weighted accumulations (VPU elementwise)
+    feeding one im2col matmul (MXU) — no dynamic addressing anywhere, and
+    trivially differentiable. (Same proof as the Pallas v3 kernel,
+    ops/pallas/dcn.py.)
     """
     n, h, w, c = x.shape
     kh, kw, wc, c_out = weight.shape
@@ -265,16 +268,16 @@ def deform_conv2d_windowed(
     def hat(u):
         return jnp.maximum(0.0, 1.0 - jnp.abs(u)).astype(x.dtype)
 
-    # window displacements: hat(t - d) is nonzero only for the two integers
-    # flanking t in [-D, D], i.e. d in [-D, D+1] -> S = 2D+2 values
-    s_win = 2 * d_max + 2
+    # window displacements: hat(t - d) with t clamped to [-D, D] is nonzero
+    # only for d in the TIGHT window [-D, D] (hat vanishes at d = D + 1;
+    # see the docstring proof) -> S = 2D+1 values
     margin = d_max + 1 + max(dh * (kh - 1) - ph, dw * (kw - 1) - pw, ph, pw)
     x_pad = jnp.pad(
         x, ((0, 0), (margin, margin), (margin, margin), (0, 0))
     )
 
     wx = {
-        dx: hat(tx - dx) for dx in range(-d_max, d_max + 2)
+        dx: hat(tx - dx) for dx in range(-d_max, d_max + 1)
     }  # static x-window weights, (N,H,W,G,K) each
 
     def body(carry, dy):
@@ -291,14 +294,12 @@ def deform_conv2d_windowed(
                 (n, h, w + 2 * margin, c),
             )
         terms = []
-        wgts = []
         for a in range(kh):
             for b in range(kw):
                 t = a * kw + b
                 base_x = margin + b * dw - pw
                 acc_t = None
-                wgt_t = None
-                for dx in range(-d_max, d_max + 2):
+                for dx in range(-d_max, d_max + 1):
                     xs = jax.lax.slice_in_dim(
                         rows[a], base_x + dx, base_x + dx + w, axis=2
                     )
@@ -315,7 +316,7 @@ def deform_conv2d_windowed(
     # residuals (~0.5 GB at FAMI training scale)
     cols, _ = jax.lax.scan(
         jax.checkpoint(body), init,
-        jnp.arange(-d_max, d_max + 2, dtype=jnp.int32),
+        jnp.arange(-d_max, d_max + 1, dtype=jnp.int32),
     )
     col = cols.reshape(n * h * w, k * c)
     wmat = weight.reshape(k * c, c_out)

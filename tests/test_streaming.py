@@ -132,6 +132,57 @@ def test_streaming_flip_test_mode(model_and_vars, rng):
     np.testing.assert_allclose(np.asarray(hm), np.asarray(want), atol=1e-5)
 
 
+def test_flip_batched_matches_paired(model_and_vars, rng):
+    """The 2B-batched flip-test step == the two-call paired form (eval-mode
+    BN is batch-size independent, so folding flipped frames into the same
+    backbone/head calls changes only dispatch; XLA refuses different
+    batch sizes the same fusion schedule, so agreement is to f32 rounding,
+    not bitwise)."""
+    m, v = model_and_vars
+    n = 4
+    frames = _frames(rng, n)
+    step_b = jax.jit(make_step(m, v, DISTANCE, flip_test=True,
+                               flip_batched=True))
+    step_p = jax.jit(make_step(m, v, DISTANCE, flip_test=True,
+                               flip_batched=False))
+    st_b = init_state(m, v, frames[0], DISTANCE, flip_test=True)
+    st_p = init_state(m, v, frames[0], DISTANCE, flip_test=True)
+    for t in range(n):
+        st_b, (hm_b, kf_b) = step_b(st_b, frames[t])
+        st_p, (hm_p, kf_p) = step_p(st_p, frames[t])
+    np.testing.assert_allclose(
+        np.asarray(hm_b), np.asarray(hm_p), atol=5e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(kf_b), np.asarray(kf_p), atol=5e-6
+    )
+
+
+def test_sharded_streaming_matches_single(model_and_vars, rng):
+    """B=8 streams sharded over the 8-device mesh == the single-device step
+    (the step is elementwise across streams: no collectives, same values)."""
+    from fami_pose_tpu.parallel.mesh import build_mesh
+
+    m, v = model_and_vars
+    n, b8 = 4, 8
+    frames = jnp.asarray(rng.rand(n, b8, H, W, 3).astype(np.float32))
+    mesh = build_mesh()
+    step_m = make_step(m, v, DISTANCE, mesh=mesh)
+    step_1 = jax.jit(make_step(m, v, DISTANCE))
+    st_m = init_state(m, v, frames[0], DISTANCE, mesh=mesh)
+    st_1 = init_state(m, v, frames[0], DISTANCE)
+    for t in range(n):
+        st_m, (hm_m, kf_m) = step_m(st_m, frames[t])
+        st_1, (hm_1, kf_1) = step_1(st_1, frames[t])
+    # per-device subgraphs fuse like the single-device one: f32-epsilon
+    np.testing.assert_allclose(
+        np.asarray(hm_m), np.asarray(hm_1), atol=5e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(kf_m), np.asarray(kf_1), atol=5e-6
+    )
+
+
 def test_predictor_wrapper(model_and_vars, rng):
     m, v = model_and_vars
     frames = _frames(rng, 4)
