@@ -101,6 +101,49 @@ def init_state(model, variables, first_frames, distance: int,
     return state
 
 
+def init_state_from_history(model, variables, history, distance: int,
+                            flip_test: bool = False, mesh=None) -> StreamState:
+    """Prime the rolling buffer from real frame history — the re-prime path
+    a deployed tracker uses when a stream's crop box moves materially (the
+    module docstring's crop-locked condition breaks and cached features
+    under the old crop are stale).
+
+    ``history`` is ``(T, B, H, W, 3)``, oldest first, ``1 <= T <= 2*distance
+    - 1`` — the last ``T`` frames re-cropped under the NEW box. Slots older
+    than the history clamp to the oldest frame (the same convention
+    :func:`init_state` applies with ``T = 1``). The resulting state is
+    exactly the state a stream fed those frames from scratch would hold
+    (eval-mode BN is per-sample, so folding ``T`` into the batch axis of one
+    backbone call computes the same features), so subsequent emissions match
+    a never-re-primed stream as soon as clamped slots leave the window.
+    """
+    w = 2 * distance - 1
+    t_n, b = int(history.shape[0]), int(history.shape[1])
+    if not 1 <= t_n <= w:
+        raise ValueError(f"history length {t_n} not in [1, {w}]")
+    flat = history.reshape((t_n * b,) + tuple(history.shape[2:]))
+    bb_hm, feat = model.apply(variables, flat, None, train=False,
+                              mode="features")
+    feat = feat.reshape((t_n, b) + tuple(feat.shape[1:]))
+    bb_hm = bb_hm.reshape((t_n, b) + tuple(bb_hm.shape[1:]))
+    # slot i holds padded[i] = history[max(i - (w - T), 0)]; pos = 0 so the
+    # next write overwrites the oldest slot — frame t-k sits at slot
+    # (pos - 1 - k) mod w = w - 1 - k, the newest-last layout the step reads
+    idx = jnp.maximum(jnp.arange(w) - (w - t_n), 0)
+    state = StreamState(feats=feat[idx], bb_hms=bb_hm[idx], pos=jnp.int32(0))
+    if flip_test:
+        _, feat_f = model.apply(
+            variables, flat[:, :, ::-1, :], None, train=False,
+            mode="features",
+        )
+        feat_f = feat_f.reshape((t_n, b) + tuple(feat_f.shape[1:]))
+        state = state._replace(feats_f=feat_f[idx])
+    if mesh is not None:
+        state_sh, _ = stream_shardings(mesh, flip_test=flip_test)
+        state = jax.device_put(state, state_sh)
+    return state
+
+
 def stream_shardings(mesh, flip_test: bool = False):
     """``(state_shardings, frames_sharding)`` for serving ``B`` parallel
     streams data-parallel over ``mesh``: every window buffer is sharded on
@@ -273,6 +316,15 @@ class StreamingPosePredictor:
     def prime(self, first_frames):
         self._state = init_state(
             self._model, self._variables, first_frames, self.distance,
+            flip_test=self.flip_test, mesh=self._mesh,
+        )
+
+    def prime_from_history(self, history):
+        """Re-prime from the last ``T <= 2*distance-1`` frames (oldest
+        first, ``(T, B, H, W, 3)``) — e.g. re-cropped under a moved box;
+        see :func:`init_state_from_history`."""
+        self._state = init_state_from_history(
+            self._model, self._variables, history, self.distance,
             flip_test=self.flip_test, mesh=self._mesh,
         )
 

@@ -192,3 +192,67 @@ def test_predictor_wrapper(model_and_vars, rng):
         hm, kf_bb = pred(frames[t])
     assert hm.shape[0] == B and kf_bb.shape[0] == B
     assert np.isfinite(np.asarray(hm, dtype=np.float32)).all()
+
+
+def test_init_from_history_matches_virgin_stream(model_and_vars, rng):
+    """Re-priming from the full window of real frames reconstructs exactly
+    the state a from-scratch stream holds: subsequent emissions are equal."""
+    from fami_pose_tpu.engine.streaming import init_state_from_history
+
+    m, v = model_and_vars
+    n = 8
+    w = 2 * DISTANCE - 1
+    frames = _frames(rng, n)
+    step = jax.jit(make_step(m, v, DISTANCE))
+
+    # virgin stream over all frames
+    st_a = init_state(m, v, frames[0], DISTANCE)
+    outs_a = []
+    for t in range(n):
+        st_a, (hm, _) = step(st_a, frames[t])
+        outs_a.append(np.asarray(hm))
+
+    # re-primed at time t0 = w - 1 from the last w frames (full history)
+    t0 = w - 1
+    st_b = init_state_from_history(m, v, frames[: t0 + 1], DISTANCE)
+    for t in range(t0 + 1, n):
+        st_b, (hm, _) = step(st_b, frames[t])
+        # the buffers hold identical frames -> identical emissions
+        np.testing.assert_allclose(np.asarray(hm), outs_a[t], atol=1e-5)
+
+
+def test_init_from_history_partial_clamps_then_converges(model_and_vars, rng):
+    """T < window re-prime clamps missing slots to the oldest frame and
+    matches the virgin stream once clamped slots leave the window."""
+    from fami_pose_tpu.engine.streaming import init_state_from_history
+
+    m, v = model_and_vars
+    n = 9
+    w = 2 * DISTANCE - 1
+    frames = _frames(rng, n)
+    step = jax.jit(make_step(m, v, DISTANCE))
+
+    st_a = init_state(m, v, frames[0], DISTANCE)
+    outs_a = []
+    for t in range(n):
+        st_a, (hm, _) = step(st_a, frames[t])
+        outs_a.append(np.asarray(hm))
+
+    # re-prime at t0 = 4 with only the last T=2 frames (3, 4)
+    t0, t_hist = 4, 2
+    st_b = init_state_from_history(
+        m, v, frames[t0 - t_hist + 1 : t0 + 1], DISTANCE
+    )
+    for t in range(t0 + 1, n):
+        st_b, (hm, _) = step(st_b, frames[t])
+        if t - t0 >= w - t_hist:  # all clamped slots overwritten
+            np.testing.assert_allclose(np.asarray(hm), outs_a[t], atol=1e-5)
+
+
+def test_predictor_prime_from_history(model_and_vars, rng):
+    m, v = model_and_vars
+    frames = _frames(rng, 6)
+    p = StreamingPosePredictor(m, v, distance=DISTANCE, flip_test=True)
+    p.prime_from_history(frames[:3])
+    hm, kf = p(frames[3])
+    assert hm.shape == kf.shape and np.isfinite(np.asarray(hm)).all()

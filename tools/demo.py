@@ -10,6 +10,15 @@ BASELINE.json config 4 ("video -> bbox crops -> clip batches -> keypoints").
 
 ``--boxes`` is a json list of {"frame": <index-or-filename>, "bbox":
 [x, y, w, h], "score": s}; omit it to use one full-frame box per frame.
+
+``--streaming`` switches from the reference batch protocol (re-run the
+backbone on all 1+num_sup frames of every clip) to the cached-feature
+streaming serving path (engine/streaming.py): the backbone runs ONCE per
+video frame and the alignment head consumes the rolling feature buffer.
+Crops are locked at the first annotated frame's boxes (one stream per box)
+— exact vs the batch protocol while the boxes are static (clamp-to-first /
+clamp-to-last boundary handling matches the batch path's frame clamping),
+and the production configuration behind the bench headline.
 """
 
 import argparse
@@ -32,6 +41,11 @@ def parse_args():
     p.add_argument("--checkpoint", default="", help="model checkpoint")
     p.add_argument("--out", default="demo_out")
     p.add_argument("--vis", action="store_true", help="write skeleton overlays")
+    p.add_argument(
+        "--streaming", action="store_true",
+        help="cached-feature streaming serving (crops locked at the first "
+        "annotated frame's boxes; see module docstring)",
+    )
     p.add_argument("opts", nargs=argparse.REMAINDER, default=None)
     return p.parse_args()
 
@@ -43,6 +57,10 @@ def main():
 
     import cv2
     import jax
+
+    from fami_pose_tpu.utils.platform import apply_jax_platforms_env
+
+    apply_jax_platforms_env()
     import jax.numpy as jnp
 
     from fami_pose_tpu.config import get_cfg
@@ -107,6 +125,90 @@ def main():
 
     os.makedirs(args.out, exist_ok=True)
     results = []
+
+    def emit(frame_name, bbox, score, preds_j, maxvals_j):
+        pose = np.concatenate([np.asarray(preds_j), np.asarray(maxvals_j)],
+                              axis=1)
+        results.append(
+            {
+                "frame": frame_name,
+                "bbox": list(map(float, bbox)),
+                "bbox_score": float(score),
+                "keypoints": pose.tolist(),
+            }
+        )
+        if args.vis:
+            from fami_pose_tpu.visualization import (
+                draw_skeleton_in_origin_image,
+            )
+
+            draw_skeleton_in_origin_image(
+                osp.join(args.frames, frame_name), pose,
+                osp.join(args.out, "vis"),
+            )
+
+    if args.streaming:
+        from fami_pose_tpu.engine.streaming import StreamingPosePredictor
+
+        # crop-locked serving: one stream per box of the first annotated
+        # frame, affine locked for the stream's lifetime (exact while the
+        # box is static; a deployed tracker re-primes on box motion —
+        # engine/streaming.py docstring)
+        first_fi = min(boxes_by_frame)
+        tracks = boxes_by_frame[first_fi]
+        if any(v != tracks for v in boxes_by_frame.values()):
+            logging.warning(
+                "--streaming locks crops at frame %d's boxes; later box "
+                "changes are ignored", first_fi,
+            )
+        centers, scales, transes = [], [], []
+        for bbox, _score in tracks:
+            center, scale = box2cs(
+                bbox, aspect, float(cfg.DATASET.BBOX_ENLARGE_FACTOR)
+            )
+            centers.append(center)
+            scales.append(scale)
+            transes.append(
+                dark_get_affine_transform(center, scale, 0, (img_w, img_h))
+            )
+        centers, scales = np.asarray(centers), np.asarray(scales)
+
+        def crop_batch(i):
+            img = read_frame(i)
+            raw = np.stack(
+                [
+                    cv2.warpAffine(img, t, (img_w, img_h),
+                                   flags=cv2.INTER_LINEAR)
+                    for t in transes
+                ]
+            )
+            return prepare_eval_inputs(jnp.asarray(raw), jnp.asarray(raw))[0]
+
+        predictor = StreamingPosePredictor(model, variables,
+                                           distance=distance)
+        predictor.prime(crop_batch(0))
+        n = len(frames)
+        # feed span extra copies of the last frame so tail key frames see
+        # the same clamp-to-last neighbors the batch path's frame clamping
+        # produces
+        for t in range(n + span):
+            hm, _ = predictor(crop_batch(min(t, n - 1)))
+            key_t = t - span
+            if key_t < 0:
+                continue
+            preds, maxvals = get_final_preds(
+                jnp.transpose(hm, (0, 3, 1, 2)), centers, scales
+            )
+            for j, (bbox, score) in enumerate(tracks):
+                emit(frames[key_t], bbox, score,
+                     np.asarray(preds)[j], np.asarray(maxvals)[j])
+
+        out_json = osp.join(args.out, "keypoints.json")
+        with open(out_json, "w") as f:
+            json.dump(results, f)
+        print(f"wrote {len(results)} poses to {out_json} (streaming)")
+        return
+
     for fi in range(len(frames)):
         dets = boxes_by_frame.get(fi, [])
         if not dets:
@@ -132,26 +234,8 @@ def main():
             preds, maxvals = get_final_preds(
                 hm, np.asarray([center]), np.asarray([scale])
             )
-            pose = np.concatenate(
-                [np.asarray(preds)[0], np.asarray(maxvals)[0]], axis=1
-            )
-            results.append(
-                {
-                    "frame": frames[fi],
-                    "bbox": list(map(float, bbox)),
-                    "bbox_score": float(score),
-                    "keypoints": pose.tolist(),
-                }
-            )
-            if args.vis:
-                from fami_pose_tpu.visualization import (
-                    draw_skeleton_in_origin_image,
-                )
-
-                draw_skeleton_in_origin_image(
-                    osp.join(args.frames, frames[fi]), pose,
-                    osp.join(args.out, "vis"),
-                )
+            emit(frames[fi], bbox, score,
+                 np.asarray(preds)[0], np.asarray(maxvals)[0])
 
     out_json = osp.join(args.out, "keypoints.json")
     with open(out_json, "w") as f:

@@ -13,6 +13,10 @@ import numpy as np
 
 sys.path.insert(0, osp.join(osp.dirname(__file__), ".."))
 
+from fami_pose_tpu.utils.platform import apply_jax_platforms_env  # noqa: E402
+
+apply_jax_platforms_env()
+
 from fami_pose_tpu.config import get_cfg, update_config  # noqa: E402
 from fami_pose_tpu.engine.argument_parser import default_parse_args  # noqa: E402
 from fami_pose_tpu.engine.runner import Runner  # noqa: E402
