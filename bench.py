@@ -169,7 +169,12 @@ def main():
         # conditions vs the per-keyframe-recrop batch protocol.
         from fami_pose_tpu.engine.streaming import init_state, make_step
 
-        step = make_step(model, v, distance=3, flip_test=flip_test)
+        # BENCH_FLIP_BATCHED=1 folds flipped frames into the same backbone/
+        # head calls (one 2B call instead of two B calls) — A/B'd on-chip
+        # via tools/bench_streaming_flip.py
+        flip_batched = os.environ.get("BENCH_FLIP_BATCHED", "0") == "1"
+        step = make_step(model, v, distance=3, flip_test=flip_test,
+                         flip_batched=flip_batched)
         state0 = jax.jit(
             lambda f: init_state(model, v, f, 3, flip_test=flip_test)
         )(kf)
