@@ -17,9 +17,14 @@ gradients in one pass over the same window structure as the forward:
   dx(q)  = sum_k sum_d [haty hatx m dcol]_k(q - base_k - d)   (shift adjoint)
 
 Layout identical to the forward kernels (flat row-per-128-lane tiles,
-group-minor channels); the dx adjoint reads halo rows of gout/offsets/mask,
-so those are staged with zero row-margins (zero dcol kills any pad-row
-weight contribution).
+group-minor channels). offsets/mask/gout are staged ONCE as row+lane
+zero-padded whole images shared by BOTH kernels (full-image BlockSpecs, the
+same pattern the forward kernel uses for ``x``): the dx adjoint reads its
+halo rows out of the padded image directly (zero dcol in the pad rows kills
+any pad-row weight contribution), which replaces the earlier per-row-block
+halo *duplication* (2x the rows re-materialized in HBM per array) plus a
+second no-halo block copy for the fwd-side kernel — about 60% of the
+backward's staging traffic.
 
 Verified against ``jax.vjp(deform_conv2d_windowed)`` in tests.
 """
@@ -47,10 +52,14 @@ def _bwd_fwdside_kernel(
     at the boundary) and so is its derivative factor (|u| >= 1 kills the
     (|u| < 1) gate), so the dropped iteration contributed exact zeros to
     every accumulator — bit-identical output, (2D+1)^2/(2D+2)^2 of the work.
+
+    off/msk/gout refs are the row+lane padded WHOLE images (shared with the
+    dx kernel); this kernel slices its block rows at ``margin + row0``.
     """
     s_win = 2 * d_max + 1
     row0 = pl.program_id(1) * tr
     trwp = tr * LANE
+    base = (margin + row0) * LANE
 
     first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
 
@@ -58,7 +67,7 @@ def _bwd_fwdside_kernel(
     def _():
         dw_ref[...] = jnp.zeros_like(dw_ref)
 
-    gout_blk = g_ref[0].astype(jnp.float32)  # (Co, TRWP)
+    gout_blk = g_ref[0, :, pl.ds(base, trwp)].astype(jnp.float32)  # (Co, TRWP)
 
     for a in range(kh):
         for b in range(kw):
@@ -74,16 +83,18 @@ def _bwd_fwdside_kernel(
             dcol3 = dcol.reshape(cg, groups, trwp)
 
             ty_raw = off_ref[
-                0, (t * 2 + 0) * groups : (t * 2 + 1) * groups, :
+                0, (t * 2 + 0) * groups : (t * 2 + 1) * groups,
+                pl.ds(base, trwp),
             ].astype(jnp.float32)
             tx_raw = off_ref[
-                0, (t * 2 + 1) * groups : (t * 2 + 2) * groups, :
+                0, (t * 2 + 1) * groups : (t * 2 + 2) * groups,
+                pl.ds(base, trwp),
             ].astype(jnp.float32)
             ty = jnp.clip(ty_raw, -d_max, d_max)
             tx = jnp.clip(tx_raw, -d_max, d_max)
-            m = msk_ref[0, t * groups : (t + 1) * groups, :].astype(
-                jnp.float32
-            )
+            m = msk_ref[
+                0, t * groups : (t + 1) * groups, pl.ds(base, trwp)
+            ].astype(jnp.float32)
 
             def body(dyi, carry):
                 s_acc, dmsk_acc, dty_acc, dtx_acc = carry
@@ -156,14 +167,21 @@ def _bwd_dx_kernel(
     dcol and of the offset/mask REFS; the sub-tile column part is one roll
     of the final product — no per-term scratch round-trips.
 
+    off/msk/gout refs are the row+lane padded whole images (shared with the
+    fwd-side kernel): the halo rows this block needs are simply phys rows
+    ``[row0, row0 + tr + 2*margin)`` of the padded image, so no duplicated
+    halo staging exists in HBM.
+
     Tight 2D+1 window on both loops (see _bwd_fwdside_kernel docstring):
     wy/wx vanish identically at the D+1 cell, so dropping it is bit-exact.
     """
     s_win = 2 * d_max + 1
+    row0 = pl.program_id(1) * tr
     trwp = tr * LANE
     thw = (tr + 2 * margin) * LANE
 
-    gout_halo = g_ref[0, 0].astype(jnp.float32)  # (Co, THW)
+    # this block's halo rows: phys [row0, row0 + tr + 2M) of the padded image
+    gout_halo = g_ref[0, :, pl.ds(row0 * LANE, thw)].astype(jnp.float32)
     dx_acc = jnp.zeros((c_in, trwp), jnp.float32)
     for a in range(kh):
         for b in range(kw):
@@ -184,15 +202,16 @@ def _bwd_dx_kernel(
                 dcol_p = bscratch_ref[:, pl.ds(start, trwp)]
                 dcol_p3 = dcol_p.reshape(cg, groups, trwp)
                 ty_p = off_ref[
-                    0, 0, (t * 2 + 0) * groups : (t * 2 + 1) * groups,
-                    pl.ds(start, trwp),
+                    0, (t * 2 + 0) * groups : (t * 2 + 1) * groups,
+                    pl.ds(row0 * LANE + start, trwp),
                 ]
                 tx_p = off_ref[
-                    0, 0, (t * 2 + 1) * groups : (t * 2 + 2) * groups,
-                    pl.ds(start, trwp),
+                    0, (t * 2 + 1) * groups : (t * 2 + 2) * groups,
+                    pl.ds(row0 * LANE + start, trwp),
                 ]
                 m_p = msk_ref[
-                    0, 0, t * groups : (t + 1) * groups, pl.ds(start, trwp)
+                    0, t * groups : (t + 1) * groups,
+                    pl.ds(row0 * LANE + start, trwp),
                 ].astype(jnp.float32)
                 ty_p = jnp.clip(ty_p.astype(jnp.float32), -d_max, d_max)
                 tx_p = jnp.clip(tx_p.astype(jnp.float32), -d_max, d_max)
@@ -252,22 +271,19 @@ def deform_conv2d_windowed_bwd_pallas(
 
     n_rb = h // tr
     thw_rows = tr + 2 * margin
+    hp2 = h + 2 * margin  # shared row+lane padded staging height
 
-    def stage_halo(arr, channels):
-        """(N, ch, H, W) -> (N, RB, ch, (tr+2M)*LANE): per-row-block halo
-        copies (overlap duplicated in HBM so kernel blocks tile cleanly).
-        Arrays keep their input dtype (bf16 in the flagship model: halves
-        the halo-duplication copies; the kernels convert per-tile)."""
-        flat = jnp.pad(
+    def stage_padded(arr, channels):
+        """(N, ch, H, W) -> (N, ch, (H+2M)*LANE): ONE row+lane zero-pad per
+        array, read by BOTH kernels as full-image blocks. Replaces the
+        per-row-block halo duplication (2x rows rewritten to HBM) plus the
+        fwd-side kernel's separate no-halo block copy. Arrays keep their
+        input dtype (bf16 in the flagship model); the kernels convert
+        per-tile."""
+        a = jnp.pad(
             arr, ((0, 0), (0, 0), (margin, margin), (margin, pad_right))
         )  # (N, ch, H+2M, LANE)
-        blocks = [
-            flat[:, :, i * tr : i * tr + thw_rows, :].reshape(
-                n, 1, channels, thw_rows * LANE
-            )
-            for i in range(n_rb)
-        ]
-        return jnp.concatenate(blocks, axis=1)
+        return a.reshape(n, channels, hp2 * LANE)
 
     if aux_channel_first:
         # offsets/mask already (N, 2GK/GK, H, W), kernel-major channel order
@@ -285,10 +301,9 @@ def deform_conv2d_windowed_bwd_pallas(
                 mask.reshape(n, h, w, g, k).transpose(0, 4, 3, 1, 2)
                 .reshape(n, g * k, h, w)
             )
-    off_halo = stage_halo(off_r, 2 * g * k)
-    msk_halo = stage_halo(msk_r, g * k)
-
-    gout_halo = stage_halo(gout.transpose(0, 3, 1, 2), c_out)
+    off_p = stage_padded(off_r, 2 * g * k)
+    msk_p = stage_padded(msk_r, g * k)
+    gout_p = stage_padded(gout.transpose(0, 3, 1, 2), c_out)
 
     w_k = weight.reshape(k, c, c_out)[:, perm, :].astype(jnp.float32)
 
@@ -299,27 +314,21 @@ def deform_conv2d_windowed_bwd_pallas(
     kernel_fwdside = functools.partial(_bwd_fwdside_kernel, **common)
     kernel_dx = functools.partial(_bwd_dx_kernel, **common)
 
-    # non-halo (block-rows) stagings for the fwd-side kernel
-    def stage_blocks(arr, channels):
-        a = jnp.pad(arr, ((0, 0), (0, 0), (0, 0), (margin, pad_right)))
-        return a.reshape(n, channels, h * LANE)
-
-    off_blk = stage_blocks(off_r, 2 * g * k)
-    msk_blk = stage_blocks(msk_r, g * k)
-    gout_blk = stage_blocks(gout.transpose(0, 3, 1, 2), c_out)
     thw = thw_rows * LANE
+    # full padded images in VMEM (~16 MB at C=96 with double-buffering)
+    cparams = pltpu.CompilerParams(vmem_limit_bytes=48 * 1024 * 1024)
     doff_f, dmsk_f, dw = pl.pallas_call(
         kernel_fwdside,
         grid=(n, n_rb),
         in_specs=[
             pl.BlockSpec((1, c, hp * LANE), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2 * g * k, tr * LANE), lambda b, i: (b, 0, i),
+            pl.BlockSpec((1, 2 * g * k, hp2 * LANE), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, g * k, tr * LANE), lambda b, i: (b, 0, i),
+            pl.BlockSpec((1, g * k, hp2 * LANE), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c_out, tr * LANE), lambda b, i: (b, 0, i),
+            pl.BlockSpec((1, c_out, hp2 * LANE), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -339,18 +348,19 @@ def deform_conv2d_windowed_bwd_pallas(
             jax.ShapeDtypeStruct((k, c, c_out), jnp.float32),
         ],
         interpret=bool(interpret),
-    )(x_flat, off_blk, msk_blk, w_k, gout_blk)
+        compiler_params=cparams,
+    )(x_flat, off_p, msk_p, w_k, gout_p)
 
     dx_f = pl.pallas_call(
         kernel_dx,
         grid=(n, n_rb),
         in_specs=[
-            pl.BlockSpec((1, 1, 2 * g * k, thw), lambda b, i: (b, i, 0, 0),
+            pl.BlockSpec((1, 2 * g * k, hp2 * LANE), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, g * k, thw), lambda b, i: (b, i, 0, 0),
+            pl.BlockSpec((1, g * k, hp2 * LANE), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, c_out, thw), lambda b, i: (b, i, 0, 0),
+            pl.BlockSpec((1, c_out, hp2 * LANE), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, c, tr * LANE), lambda b, i: (b, 0, i),
@@ -358,7 +368,8 @@ def deform_conv2d_windowed_bwd_pallas(
         out_shape=jax.ShapeDtypeStruct((n, c, h * LANE), jnp.float32),
         scratch_shapes=[pltpu.VMEM((c, thw), jnp.float32)],
         interpret=bool(interpret),
-    )(off_halo, msk_halo, w_k, gout_halo)
+        compiler_params=cparams,
+    )(off_p, msk_p, w_k, gout_p)
 
     # un-stage: flat row tiles -> (N, H, W, ch)
     def unstage(flat, channels):
