@@ -23,7 +23,7 @@ from fami_pose_tpu.optim import build_optimizer
 B = int(os.environ.get("TB", "8"))
 ITERS = int(os.environ.get("TI", "10"))
 model = FAMIPose(extra=W48_EXTRA, num_joints=17, dtype=jnp.bfloat16,
-                 dcn_max_offset=4, use_pallas_dcn=True, remat_backbone=True)
+                 dcn_max_offset=4, use_pallas_dcn=True, remat_backbone=os.environ.get("REMAT", "0") == "1")
 cfg = get_default_cfg()
 tx = build_optimizer(cfg, steps_per_epoch=100)
 rng = np.random.RandomState(0)

@@ -94,6 +94,55 @@ def main():
           f"(threshold 1e-3 of output range at default MXU precision)")
 
     warp_parity()
+    backward_parity()
+
+
+def backward_parity():
+    """All five gradients of the fused backward kernels vs ``jax.vjp`` of
+    the XLA windowed reference — on-chip (the interpret-mode tests pin the
+    same comparison on the CPU host). dcol is an MXU matmul at default
+    precision, so dweight/doffset inherit ~1e-4/~1e-2-of-max deltas from
+    bf16-pass rounding + cancellation in the hat-derivative terms; dx and
+    dmask are VPU-only and sit at f32 epsilon."""
+    from fami_pose_tpu.ops.deform_conv import deform_conv2d_windowed
+    from fami_pose_tpu.ops.pallas.dcn_bwd import (
+        deform_conv2d_windowed_bwd_pallas,
+    )
+
+    n, h, w, c, co, g, d_max = 2, 32, 72, 48, 48, 12, 4
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(n, h, w, c), jnp.float32)
+    off = jnp.asarray(rng.randn(n, h, w, 2 * g * 9) * 3, jnp.float32)
+    msk = jnp.asarray(rng.rand(n, h, w, g * 9), jnp.float32)
+    wgt = jnp.asarray(rng.randn(3, 3, c, co) * 0.1, jnp.float32)
+    gout = jnp.asarray(rng.randn(n, h, w, co), jnp.float32)
+
+    def f(x, off, msk, wgt):
+        return deform_conv2d_windowed(
+            x, off, msk, wgt, None, padding=3, dilation=3,
+            offset_groups=g, max_offset=d_max,
+        )
+
+    _, vjp = jax.vjp(f, x, off, msk, wgt)
+    ref = vjp(gout)
+    got = deform_conv2d_windowed_bwd_pallas(
+        x, off, msk, wgt, gout, padding=3, dilation=3, offset_groups=g,
+        max_offset=d_max, row_block=16,
+    )
+    print(f"\n--- backward kernels vs jax.vjp(xla_windowed) (batch {n}) ---")
+    tols = {"dx": 1e-5, "doffset": 5e-2, "dmask": 1e-5, "dweight": 1e-3}
+    worst_name = None
+    for name, r, p in zip(("dx", "doffset", "dmask", "dweight"), ref, got):
+        r = np.asarray(r, np.float32)
+        p = np.asarray(p, np.float32)
+        rel = np.abs(r - p).max() / (np.abs(r).max() + 1e-9)
+        ok = rel <= tols[name]
+        if not ok:
+            worst_name = name
+        print(f"{name:8s} max|d|/max|ref| {rel:.3e} (tol {tols[name]:g}) "
+              f"{'PASS' if ok else 'FAIL'}")
+    if worst_name:
+        print(f"FAIL: backward parity ({worst_name})")
 
 
 def warp_parity():
