@@ -182,8 +182,9 @@ def make_step(model, variables, distance: int, flip_test: bool = False,
     calls (batch ``2B`` instead of two ``B`` calls) — equivalent under
     eval-mode BN (running stats are batch-size independent) up to XLA
     fusion rounding (~1e-6 f32; different batch sizes fuse differently),
-    fewer dispatches and inter-op bubbles. Default follows the measured
-    winner on v5e — see docs/PERFORMANCE.md (streaming pipeline).
+    fewer dispatches and inter-op bubbles. Measured on v5e (int8, D=1,
+    batch 128): paired 278.7 vs batched 269.0 clips/s — paired is the
+    default (tools/bench_streaming_flip.py, docs/SERVING.md).
     """
     lat = distance - 1
     w = 2 * distance - 1

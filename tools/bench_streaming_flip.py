@@ -6,7 +6,11 @@ Env: BENCH_BATCH (128), BENCH_ITERS (20), BENCH_INT8 (1), BENCH_D (1).
 """
 
 import os
+import os.path as osp
+import sys
 import time
+
+sys.path.insert(0, osp.join(osp.dirname(osp.abspath(__file__)), ".."))
 
 import jax
 import jax.numpy as jnp
