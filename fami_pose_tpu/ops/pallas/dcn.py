@@ -569,6 +569,101 @@ def _dcn_kernel_v3(
     o_ref[0] = acc.astype(o_ref.dtype)
 
 
+def _dcn_kernel_v9(
+    x_ref, off_ref, msk_ref, w_ref, o_ref, *, kh, kw, dil, pad,
+    d_max, groups, cg, tr, c_in, c_out, margin,
+):
+    """Strip-rolled, gather-free, fully-static tight-window kernel.
+
+    Built for SMALL serving windows (the D=1/D=2 int8 serving path, where
+    the 4 DCN calls are ~48% of the streaming step): at small ``D`` the
+    tight support is tiny — ``(2D+1)^2`` cells per tap — so the sampling
+    can be *fully static*: no lane gathers, no dynamic slices inside the
+    window loop, no ``fori_loop`` at all.
+
+      * ONE lane-aligned dynamic slice pulls the strip of image rows this
+        output block can ever touch (``tr + (kh-1)*dil + 2D`` rows).
+      * Each distinct horizontal displacement ``sx = b*dil - pad + dx``
+        (``dx`` in the tight ``[-D, D]`` — the hat weight at ``|dx| = D+1``
+        is identically zero for clamped offsets, same proof as the row
+        window) is ONE whole-strip ``pltpu.roll``; 2(pad+D)+1 rolls total,
+        hoisted out of every loop. Wrap-around only touches discarded
+        margin columns (|sx| <= pad+D < margin, the v2 invariant).
+      * Every (tap, dy, dx) contribution is then a *static* row-slice of a
+        rolled strip times a hat-product weight: one multiply + one FMA on
+        full (C, tr*128) operands — 16x wider than v3's per-row tiles, so
+        per-instruction overhead (v3's measured wall: ~5x its VPU floor)
+        amortizes away. ~(kh*kw)*(2D+1)^2 FMAs/block vs v3's
+        ~tr*kh*(2D+1)*kw*5 small-tile instructions.
+
+    Semantics identical to v3 / ``deform_conv2d_windowed`` (exact bilinear
+    DCNv2 with offsets clamped to [-D, D]; zero-padded borders): the hat
+    form sums hat(ty-dy)*hat(tx-dx)*mask*x over the support cells, which
+    is the bilinear blend v3 computes via floor/gather. Parity-tested in
+    tests/test_pallas_dcn.py; shootout in docs/PERFORMANCE.md.
+    """
+    trwp = tr * LANE
+    row0 = pl.program_id(1) * tr
+    k = kh * kw
+    sr = tr + (kh - 1) * dil + 2 * d_max  # strip rows this block touches
+    srwp = sr * LANE
+    base = margin + row0 - pad - d_max  # first strip row (padded image)
+
+    # per-tap hat weights over the tight window, on (G, tr*128) tiles:
+    # wx[t][dxi], wym[t][dyi] (the mask folds into the y factor once)
+    win = range(-d_max, d_max + 1)
+    wxs, wyms = [], []
+    for t in range(k):
+        tx = jnp.clip(
+            off_ref[0, (t * 2 + 1) * groups : (t * 2 + 2) * groups, :]
+            .astype(jnp.float32),
+            -d_max, d_max,
+        )
+        ty = jnp.clip(
+            off_ref[0, (t * 2 + 0) * groups : (t * 2 + 1) * groups, :]
+            .astype(jnp.float32),
+            -d_max, d_max,
+        )
+        m = msk_ref[0, t * groups : (t + 1) * groups, :].astype(jnp.float32)
+        wxs.append(
+            [jnp.maximum(0.0, 1.0 - jnp.abs(tx - dx)) for dx in win]
+        )
+        wyms.append(
+            [jnp.maximum(0.0, 1.0 - jnp.abs(ty - dy)) * m for dy in win]
+        )
+
+    cols = [jnp.zeros((cg, groups, trwp), jnp.float32) for _ in range(k)]
+    xwin = x_ref[0, :, pl.ds(base * LANE, srwp)]  # (C, SR*128)
+    for sx in range(-pad - d_max, (kw - 1) * dil - pad + d_max + 1):
+        users = [
+            (b, sx - (b * dil - pad))
+            for b in range(kw)
+            if abs(sx - (b * dil - pad)) <= d_max
+        ]
+        if not users:
+            continue
+        xs = pltpu.roll(xwin, (-sx) % srwp, axis=1)
+        for b, dx in users:
+            for a in range(kh):
+                t = a * kw + b
+                for dyi, dy in enumerate(win):
+                    # output row r samples strip row r + a*dil + dy + d_max
+                    r0 = (a * dil + dy + d_max) * LANE
+                    sl = xs[:, r0 : r0 + trwp]  # static slice
+                    w2 = wxs[t][dx + d_max] * wyms[t][dyi]  # (G, TRWP)
+                    cols[t] = cols[t] + sl.reshape(cg, groups, trwp) * w2[None]
+
+    acc = jnp.zeros((c_out, trwp), jnp.float32)
+    for t in range(k):
+        acc = acc + jax.lax.dot_general(
+            w_ref[t].astype(jnp.float32),
+            cols[t].reshape(c_in, trwp),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    o_ref[0] = acc.astype(o_ref.dtype)
+
+
 def _dcn_kernel_v7(
     x_ref, off_ref, msk_ref, w_ref, o_ref, *, kh, kw, dil, pad,
     d_max, groups, cg, tr, c_in, c_out, margin,
@@ -775,7 +870,7 @@ def deform_conv2d_pallas(
 
     kfn = {
         2: _dcn_kernel, 3: _dcn_kernel_v3, 4: _dcn_kernel_v4,
-        5: _dcn_kernel_v5, 7: _dcn_kernel_v7,
+        5: _dcn_kernel_v5, 7: _dcn_kernel_v7, 9: _dcn_kernel_v9,
     }[int(kernel_version)]
     scratch = (
         [pltpu.VMEM((k * c, tr * LANE), jnp.float32)]
@@ -829,6 +924,17 @@ def deform_conv2d_pallas(
             interpret=bool(interpret),
         )(x_flat, off_flat, msk_flat, w_k)
     else:
+        # v9 keeps (2D+1)^2 hat-weight tiles + per-tap columns live at once;
+        # raise the scoped-vmem cap like v7 (v5e has far more physical VMEM)
+        ckw = (
+            dict(
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=48 * 1024 * 1024
+                )
+            )
+            if int(kernel_version) == 9
+            else {}
+        )
         out_flat = pl.pallas_call(
             kernel,
             grid=(n, n_row_blocks),
@@ -858,6 +964,7 @@ def deform_conv2d_pallas(
             ),
             scratch_shapes=scratch,
             interpret=bool(interpret),
+            **ckw,
         )(x_flat, off_flat, msk_flat, w_k)
 
     out = out_flat.reshape(n, c_out, h, LANE)[:, :, :, margin : margin + w]
@@ -877,6 +984,7 @@ def _best_row_block(h: int, target: int = 16) -> int:
 def make_deform_conv_fn(
     *, padding: int, dilation: int, offset_groups: int, max_offset: int,
     use_pallas: bool, aux_channel_first: bool = False,
+    kernel_version: int = None,
 ):
     """Factory returning a differentiable DCN: fused Pallas forward with the
     XLA windowed implementation as the backward (they compute the same
@@ -886,8 +994,17 @@ def make_deform_conv_fn(
     / (N, GK, H, W) in kernel-major channel order — the layout the Pallas
     kernels stage to — skipping the 6-D transpose relayouts on both the
     forward and backward prep (only valid with ``use_pallas``).
+
+    ``kernel_version=None`` auto-selects: the gather-free strip-rolled v9
+    for small serving windows (D <= 2, where it measures ~17% faster
+    op-level and its (2D+1)^2 unroll stays small), v3 otherwise
+    (docs/PERFORMANCE.md shootouts).
     """
     from fami_pose_tpu.ops.deform_conv import deform_conv2d_windowed
+
+    if kernel_version is None:
+        kernel_version = 9 if int(max_offset) <= 2 else 3
+    kernel_version = int(kernel_version)
 
     def windowed(x, offset, mask, weight, bias):
         return deform_conv2d_windowed(
@@ -907,6 +1024,7 @@ def make_deform_conv_fn(
             offset_groups=offset_groups, max_offset=max_offset,
             row_block=_best_row_block(x.shape[1]),
             aux_channel_first=aux_channel_first,
+            kernel_version=kernel_version,
         )
 
     def fwd(x, offset, mask, weight, bias):

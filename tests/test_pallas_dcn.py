@@ -24,7 +24,7 @@ def _inputs(rng, n=2, h=32, w=24, c=8, g=2, d=2, c_out=6):
 
 
 @pytest.mark.parametrize("dilation", [1, 3])
-@pytest.mark.parametrize("kernel_version", [2, 3, 4, 5, 6, 7])
+@pytest.mark.parametrize("kernel_version", [2, 3, 4, 5, 6, 7, 9])
 def test_pallas_matches_windowed(rng, dilation, kernel_version):
     x, off, msk, wgt, bias = _inputs(rng)
     ref = deform_conv2d_windowed(
