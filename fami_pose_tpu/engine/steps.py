@@ -23,11 +23,15 @@ from .train_state import TrainState
 
 
 def heatmap_pck_accuracy(pred, target, thr: float = 0.5):
-    """Train-time PCK from heatmap argmax (reference ``accuracy``/
-    ``calc_dists``/``dist_acc``): distances normalized by (h/10, w/10),
-    counted correct under ``thr``; joints with target max <= 0 are ignored.
+    """Train-time PCK from heatmap argmax — exact reference semantics
+    (``engine/core/utils/evaluate.py:13-75``): a (sample, joint) pair is
+    valid iff BOTH target argmax coords exceed 1 (``calc_dists``' per-coord
+    ``target > 1`` check; zero-max targets get (0, 0) coords and fail it),
+    distances normalize x by h/10 and y by w/10 (the reference's axis-swap
+    quirk), per-joint accuracies are computed over valid pairs (``dist_acc``)
+    and the average is UNWEIGHTED over joints that have >= 1 valid pair.
 
-    pred/target: (B, H, W, J) NHWC. Returns (avg_acc, valid_count).
+    pred/target: (B, H, W, J) NHWC. Returns (avg_acc, counted_joints).
     """
     b, h, w, j = pred.shape
 
@@ -42,17 +46,23 @@ def heatmap_pck_accuracy(pred, target, thr: float = 0.5):
         return x * vis, y * vis, maxv
 
     px, py, _ = argmax_xy(pred.astype(jnp.float32))
-    tx, ty, tmax = argmax_xy(target.astype(jnp.float32))
+    tx, ty, _ = argmax_xy(target.astype(jnp.float32))
     norm = jnp.asarray([h / 10.0, w / 10.0], jnp.float32)
     # reference normalizes (x, y) by (h/10, w/10) respectively
     # (evaluate.py:30: dists of [x,y]/norm with norm=[h,w]*0.1)
     d = jnp.sqrt(((px - tx) / norm[0]) ** 2 + ((py - ty) / norm[1]) ** 2)
-    valid = tmax > 0  # visible joints only (calc_dists: target>1 check is
-    # on heatmap-coord values; max>0 matches in practice for gaussian targets)
+    valid = (tx > 1) & (ty > 1)  # calc_dists: both target coords must be > 1
     correct = (d < thr) & valid
-    cnt = jnp.sum(valid)
-    acc = jnp.where(cnt > 0, jnp.sum(correct) / jnp.maximum(cnt, 1), 0.0)
-    return acc, cnt
+    cnt_j = jnp.sum(valid, axis=0)  # (J,) valid pairs per joint
+    acc_j = jnp.sum(correct, axis=0) / jnp.maximum(cnt_j, 1)
+    has = cnt_j > 0
+    n_counted = jnp.sum(has)
+    acc = jnp.where(
+        n_counted > 0,
+        jnp.sum(jnp.where(has, acc_j, 0.0)) / jnp.maximum(n_counted, 1),
+        0.0,
+    )
+    return acc, n_counted
 
 
 def make_train_step(

@@ -119,6 +119,79 @@ def test_pck_accuracy_perfect_and_shifted():
     np.testing.assert_allclose(float(acc), 2.0 / 3.0, rtol=1e-6)
 
 
+def _reference_accuracy(output_nchw, target_nchw, thr=0.5):
+    """Numpy transliteration of the reference PCK meter
+    (``engine/core/utils/evaluate.py:13-75``) for differential testing."""
+    b, j, h, w = output_nchw.shape
+
+    def get_max_preds(hm):
+        flat = hm.reshape(b, j, -1)
+        idx = flat.argmax(axis=2)
+        maxv = flat.max(axis=2)
+        pred = np.stack([idx % w, idx // w], axis=-1).astype(np.float32)
+        pred *= (maxv > 0)[..., None]
+        return pred
+
+    pred = get_max_preds(output_nchw)
+    tgt = get_max_preds(target_nchw)
+    norm = np.array([h, w], np.float32) / 10.0
+    accs, cnt, total = [], 0, 0.0
+    for c in range(j):
+        dists = []
+        for n in range(b):
+            if tgt[n, c, 0] > 1 and tgt[n, c, 1] > 1:
+                dists.append(
+                    np.linalg.norm((pred[n, c] - tgt[n, c]) / norm)
+                )
+        if dists:
+            total += np.mean(np.asarray(dists) < thr)
+            cnt += 1
+    return (total / cnt if cnt else 0.0), cnt
+
+
+def test_pck_accuracy_matches_reference_meter():
+    """Differential vs the reference accuracy incl. the border case where
+    the old ``tmax > 0`` proxy and the exact per-coord ``target > 1`` check
+    DISAGREE: a target peaked at x=1 (max > 0) must be EXCLUDED."""
+    rng = np.random.RandomState(0)
+    b, h, w, j = 4, 32, 24, 5
+    target = np.zeros((b, h, w, j), np.float32)
+    pred = np.zeros_like(target)
+    for n in range(b):
+        for c in range(j):
+            ty, tx = rng.randint(0, h), rng.randint(0, w)
+            target[n, ty, tx, c] = 1.0
+            py = np.clip(ty + rng.randint(-3, 4), 0, h - 1)
+            px = np.clip(tx + rng.randint(-3, 4), 0, w - 1)
+            pred[n, py, px, c] = 1.0
+    # force the disagreement cases: peaks on/near the low borders
+    target[0, :, :, 0] = 0.0
+    target[0, 5, 1, 0] = 1.0   # x == 1 -> excluded though max > 0
+    target[1, :, :, 1] = 0.0
+    target[1, 1, 7, 1] = 1.0   # y == 1 -> excluded
+    target[2, :, :, 2] = 0.0   # zero-max -> excluded
+    # one joint with NO valid samples anywhere: must not count toward avg
+    target[:, :, :, 4] = 0.0
+    target[:, 0, 0, 4] = 1.0   # coords (0,0) -> all invalid
+
+    ref_acc, ref_cnt = _reference_accuracy(
+        target.transpose(0, 3, 1, 2).copy(), target.transpose(0, 3, 1, 2)
+    )
+    acc, cnt = heatmap_pck_accuracy(jnp.asarray(target), jnp.asarray(target))
+    np.testing.assert_allclose(float(acc), ref_acc, rtol=1e-6)
+    assert int(cnt) == ref_cnt
+
+    ref_acc, ref_cnt = _reference_accuracy(
+        pred.transpose(0, 3, 1, 2), target.transpose(0, 3, 1, 2)
+    )
+    acc, cnt = heatmap_pck_accuracy(jnp.asarray(pred), jnp.asarray(target))
+    np.testing.assert_allclose(float(acc), ref_acc, rtol=1e-6)
+    assert int(cnt) == ref_cnt
+    # the proxy would have counted joint 0/1 rows as valid; exact check must
+    # yield a different validity set (sanity that the case is exercised)
+    assert ref_cnt == 4  # joint 4 fully excluded
+
+
 def test_lr_schedule_multistep():
     cfg = get_default_cfg()
     cfg.TRAIN.LR = 1e-3
