@@ -57,6 +57,11 @@ def get_default_cfg() -> CfgNode:
             "SYNC_BATCHNORM": False,      # per-replica BN matches DataParallel
             "PREFETCH_DEPTH": 2,
             "DONATE_TRAIN_STATE": True,
+            # write per-epoch checkpoints on a background thread so the
+            # chips never wait on disk; every pending write is joined at
+            # trainer exit (engine/checkpoints.wait_for_pending_saves), so
+            # the final epoch's checkpoint cannot be lost
+            "ASYNC_CHECKPOINT": False,
             "USE_PALLAS_DCN": True,
             # offset/mask convs emit the Pallas staging layout directly
             # (kernel-major NCHW), skipping the DCN prep transposes

@@ -149,6 +149,17 @@ class DataLoader:
     ``drop_last`` mirrors torch; when False the final partial batch is padded
     by repeating the last sample and ``batch["valid"]`` marks real rows
     (fixed shapes keep one compiled step per config; SURVEY §7 hard-part 4).
+
+    Multi-host: ``batch_size`` is always the GLOBAL batch. Every process
+    computes the identical global index order (shared seed + epoch), then
+    loads ONLY its contiguous slice of each batch — rows
+    ``[p*local, (p+1)*local)`` for process ``p`` — which
+    ``parallel.mesh.shard_batch`` assembles into the global device array
+    (the reference's loader is single-process by design:
+    ``datasets/zoo/build.py:30`` "TODO Change to dataloader distributed").
+    In multi-process mode each batch additionally carries ``global_meta``
+    (center/scale/score/image_path for ALL global rows, read from the
+    dataset index without image IO) for host-side eval accumulation.
     """
 
     def __init__(
@@ -160,6 +171,8 @@ class DataLoader:
         drop_last: bool = False,
         seed: int = 0,
         prefetch: int = 2,
+        process_index: Optional[int] = None,
+        process_count: Optional[int] = None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -169,6 +182,18 @@ class DataLoader:
         self.seed = seed
         self.prefetch = prefetch
         self.epoch = 0
+        self.process_count = (
+            jax.process_count() if process_count is None else int(process_count)
+        )
+        self.process_index = (
+            jax.process_index() if process_index is None else int(process_index)
+        )
+        if batch_size % self.process_count:
+            raise ValueError(
+                f"global batch {batch_size} not divisible by "
+                f"{self.process_count} processes"
+            )
+        self.local_batch_size = batch_size // self.process_count
 
     def __len__(self):
         n = len(self.dataset)
@@ -194,6 +219,30 @@ class DataLoader:
         return batches
 
     def _load_batch(self, idx, valid) -> Dict:
+        if self.process_count > 1:
+            lb = self.local_batch_size
+            lo = self.process_index * lb
+            local_idx = idx[lo : lo + lb]
+            samples = [self.dataset[int(i)] for i in local_idx]
+            batch = collate(samples)
+            batch["valid"] = valid
+            # global host-side meta for eval accumulation: straight from the
+            # dataset index (no image IO; eval applies no augmentation, so
+            # index center/scale/score ARE the sample values)
+            db = self.dataset.data
+            batch["global_meta"] = {
+                "center": np.stack(
+                    [db[int(i)]["center"] for i in idx]
+                ).astype(np.float32),
+                "scale": np.stack(
+                    [db[int(i)]["scale"] for i in idx]
+                ).astype(np.float32),
+                "score": np.asarray(
+                    [db[int(i)].get("score", 1.0) for i in idx], np.float32
+                ),
+                "image_path": [db[int(i)]["image"] for i in idx],
+            }
+            return batch
         samples = [self.dataset[int(i)] for i in idx]
         batch = collate(samples)
         batch["valid"] = valid

@@ -7,6 +7,7 @@ opt_state}. Serialization is flax msgpack (host arrays); an optional
 background thread makes saving async so the TPU never waits on disk.
 """
 
+import atexit
 import os
 import os.path as osp
 import re
@@ -18,6 +19,22 @@ import numpy as np
 from flax import serialization
 
 CKPT_PATTERN = re.compile(r"epoch_(\d+)_state\.ckpt$")
+
+# async writer threads not yet joined; joined at exit so the final epoch's
+# checkpoint cannot be lost to interpreter teardown (daemon-thread kill)
+_PENDING_SAVES: List[threading.Thread] = []
+_PENDING_LOCK = threading.Lock()
+
+
+def wait_for_pending_saves() -> None:
+    """Block until every async ``save_checkpoint`` write has completed."""
+    with _PENDING_LOCK:
+        pending, _PENDING_SAVES[:] = _PENDING_SAVES[:], []
+    for t in pending:
+        t.join()
+
+
+atexit.register(wait_for_pending_saves)
 
 
 def checkpoint_path(directory: str, epoch: int) -> str:
@@ -47,9 +64,18 @@ def get_all_checkpoints(directory: str, min_epoch: int = 0) -> List[str]:
 def save_checkpoint(
     directory: str, epoch: int, state, async_save: bool = False
 ) -> str:
-    """Serialize {epoch, params, batch_stats, opt_state} to disk."""
-    os.makedirs(directory, exist_ok=True)
+    """Serialize {epoch, params, batch_stats, opt_state} to disk.
+
+    Multi-host: params/opt-state are replicated across processes, so only
+    process 0 writes (the reference is single-process and has no analog;
+    without the guard every host would race on the same shared-filesystem
+    path). Async writes are tracked and joined at exit / via
+    ``wait_for_pending_saves`` so the last epoch's save cannot be lost.
+    """
     path = checkpoint_path(directory, epoch)
+    if jax.process_index() != 0:
+        return path
+    os.makedirs(directory, exist_ok=True)
     payload = {
         "begin_epoch": np.int64(epoch),
         "params": jax.device_get(state.params),
@@ -67,6 +93,8 @@ def save_checkpoint(
 
     if async_save:
         t = threading.Thread(target=write, daemon=True)
+        with _PENDING_LOCK:
+            _PENDING_SAVES.append(t)
         t.start()
     else:
         write()

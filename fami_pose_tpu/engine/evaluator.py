@@ -127,6 +127,14 @@ class Evaluator:
             return variables
         if "quant" in variables:
             return variables
+        if jax.process_count() > 1:
+            raise NotImplementedError(
+                "TPU.INT8_EVAL calibration is single-process: each process "
+                "would calibrate on its own data slice and the resulting "
+                "quant scales would diverge across hosts (replicated-"
+                "variable invariant violation). Calibrate single-process "
+                "and pass the 'quant' collection in explicitly."
+            )
         from fami_pose_tpu.models.quant import calibrate
 
         n_batches = max(1, int(getattr(self.cfg.TPU, "INT8_CALIB_BATCHES", 2)))
@@ -165,8 +173,18 @@ class Evaluator:
             kf, sup = self._prepare(raw)
             kf, sup = shard_batch((kf, sup), self.mesh)
             final_hm, bb_hm = self.eval_step(variables, kf, sup)
-            center = raw["center"][:valid]
-            scale = raw["scale"][:valid]
+            if "global_meta" in raw:  # multi-process: loader rows are this
+                # process's slice; meta + (replicated) heatmaps are global
+                meta = raw["global_meta"]
+                center = meta["center"][:valid]
+                scale = meta["scale"][:valid]
+                score = meta["score"][:valid]
+                image_paths = meta["image_path"]
+            else:
+                center = raw["center"][:valid]
+                scale = raw["scale"][:valid]
+                score = raw["score"][:valid]
+                image_paths = raw["image_path"]
 
             # NHWC -> (B, J, h, w) for the decode op
             fh = jnp.transpose(final_hm[:valid], (0, 3, 1, 2))
@@ -181,9 +199,9 @@ class Evaluator:
             all_boxes[idx : idx + valid, 0:2] = center
             all_boxes[idx : idx + valid, 2:4] = scale
             all_boxes[idx : idx + valid, 4] = np.prod(scale * 200, axis=1)
-            all_boxes[idx : idx + valid, 5] = raw["score"][:valid]
+            all_boxes[idx : idx + valid, 5] = score
             for b in range(valid):
-                img_path_map.setdefault(raw["image_path"][b], []).append(idx + b)
+                img_path_map.setdefault(image_paths[b], []).append(idx + b)
             idx += valid
         self.logger.info(
             f"eval forward done: {idx} samples in {time.time() - t0:.1f}s"
@@ -192,6 +210,11 @@ class Evaluator:
         if bool(cfg.DEBUG.VIS_SKELETON) or bool(cfg.DEBUG.VIS_BBOX):
             self._vis_hook(all_preds, all_boxes, img_path_map)
 
+        if jax.process_index() != 0:
+            # protocol scoring (annolist writing + poseval) is host-side and
+            # single-writer; every process computed identical all_preds from
+            # the replicated heatmaps, so only process 0 scores
+            return {}
         results = {}
         for tag, preds in (("final", all_preds), ("backbone", all_preds_bb)):
             out_dir = osp.join(self.output_dir, f"{self.phase}_{tag}_json")

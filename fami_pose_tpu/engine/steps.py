@@ -148,7 +148,9 @@ def make_eval_step(model, mesh=None, flip_test: bool = False, flip_pairs=None):
     """Build the jitted eval step: forward (+ optional flip-test averaging).
 
     Returns ``eval_fn(variables, kf, sup) -> (final_hm, kf_bb_hm)`` with
-    heatmaps in float32 NHWC.
+    heatmaps in float32 NHWC. On multi-process meshes the output heatmaps
+    are REPLICATED (an XLA all-gather over ``data``) so every host can
+    device_get the full global batch for the host-side protocol decode.
     """
     from fami_pose_tpu.data.keypoints import COCO_FLIP_PAIRS
     from fami_pose_tpu.ops.pose import flip_back_nhwc
@@ -169,4 +171,7 @@ def make_eval_step(model, mesh=None, flip_test: bool = False, flip_pairs=None):
     if mesh is not None:
         bs = batch_sharding(mesh)
         kwargs["in_shardings"] = (None, bs, bs)
+        if jax.process_count() > 1:
+            rep = replicate(mesh)
+            kwargs["out_shardings"] = (rep, rep)
     return jax.jit(step, **kwargs)

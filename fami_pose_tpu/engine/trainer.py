@@ -208,14 +208,17 @@ class Trainer:
 
     def train(self):
         save_every = max(1, int(self.cfg.TRAIN.SAVE_MODEL_PER_EPOCH))
+        async_save = bool(getattr(self.cfg.TPU, "ASYNC_CHECKPOINT", False))
         for epoch in range(self.begin_epoch, self.end_epoch):
             meters = self.train_epoch(epoch)
             if meters.get("acc"):
                 self.writer.add_scalar("train_acc_avg", meters["acc"].avg, epoch)
             if (epoch % save_every == 0) or epoch == self.end_epoch - 1:
                 path = checkpoints.save_checkpoint(
-                    self.checkpoints_dir, epoch, self.state
+                    self.checkpoints_dir, epoch, self.state,
+                    async_save=async_save,
                 )
                 self.logger.info(f"saved checkpoint {path}")
+        checkpoints.wait_for_pending_saves()
         self.writer.flush()
         return self.state

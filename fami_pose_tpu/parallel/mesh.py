@@ -11,7 +11,14 @@ analog, by design.
 
 For multi-host (multi-slice) runs, call ``maybe_initialize_distributed()``
 first; ``build_mesh`` then spans all processes' devices and DCN-crossing
-collectives are laid out by XLA automatically.
+collectives are laid out by XLA automatically. Data feeding is
+process-sharded end to end: each process's ``DataLoader`` loads only its
+contiguous slice of every global batch (``data/loader.py``), and
+``shard_batch`` assembles the global array from the process-local shards via
+``jax.make_array_from_process_local_data``. Checkpoint writes are guarded to
+process 0 (``engine/checkpoints.py``). The 2-process CPU test
+(``tests/test_multihost.py``) proves a sharded train step + checkpoint
+round-trip across real process boundaries.
 
 A ``model`` axis is reserved in the mesh for tensor-parallel extensions; at
 ~64M params FAMI-Pose needs none, so its size defaults to 1 (SURVEY §2.6).
@@ -74,9 +81,37 @@ def replicate(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Place a pytree of host arrays with the batch axis sharded on ``data``."""
+    """Place a pytree of host arrays with the batch axis sharded on ``data``.
+
+    Single-process: a plain sharded ``device_put`` of the full host batch.
+    Multi-process: each leaf is this process's CONTIGUOUS slice of the
+    global batch (rows ``[p*local, (p+1)*local)`` — the loader's layout);
+    ``jax.make_array_from_process_local_data`` assembles the global array
+    without any cross-host data movement (``jax.devices()`` orders devices
+    process-major, so the ``data``-axis shards line up with the slices).
+    """
     sh = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sh, np.asarray(x)
+            ),
+            batch,
+        )
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def local_batch_slice(global_batch_size: int) -> slice:
+    """The contiguous rows of a global batch owned by this process."""
+    pc = jax.process_count()
+    if global_batch_size % pc:
+        raise ValueError(
+            f"global batch {global_batch_size} not divisible by "
+            f"{pc} processes"
+        )
+    local = global_batch_size // pc
+    p = jax.process_index()
+    return slice(p * local, (p + 1) * local)
 
 
 def pad_to_multiple(n: int, k: int) -> int:

@@ -1,6 +1,8 @@
 """Failure-recovery tests: checkpoint resume continuity + loader error
 propagation (SURVEY §5 aux subsystems)."""
 
+import os.path as osp
+
 import numpy as np
 import pytest
 
@@ -42,6 +44,23 @@ def test_checkpoint_roundtrip_and_resume_epoch(tmp_path):
     a = state.params["agg_final_layer"]["kernel"]
     b = restored.params["agg_final_layer"]["kernel"]
     np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_async_checkpoint_completes_before_load(tmp_path):
+    """VERDICT r3 weak #6: an async save must be joinable so the final
+    epoch's checkpoint cannot be lost at interpreter exit; after
+    ``wait_for_pending_saves`` the file is complete and loadable."""
+    state = _tiny_state()
+    state = state.replace(step=jnp.asarray(77, jnp.int32))
+    path = checkpoints.save_checkpoint(
+        str(tmp_path), epoch=3, state=state, async_save=True
+    )
+    checkpoints.wait_for_pending_saves()
+    assert osp.exists(path) and not osp.exists(path + ".tmp")
+    restored, begin_epoch = checkpoints.resume(path, _tiny_state())
+    assert begin_epoch == 4 and int(restored.step) == 77
+    # idempotent when nothing is pending
+    checkpoints.wait_for_pending_saves()
 
 
 def test_latest_and_all_checkpoints(tmp_path):
