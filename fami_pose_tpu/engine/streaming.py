@@ -43,6 +43,7 @@ from typing import List, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from fami_pose_tpu.data.keypoints import COCO_FLIP_PAIRS
 from fami_pose_tpu.ops.pose import flip_back_nhwc
@@ -142,6 +143,53 @@ def init_state_from_history(model, variables, history, distance: int,
         state_sh, _ = stream_shardings(mesh, flip_test=flip_test)
         state = jax.device_put(state, state_sh)
     return state
+
+
+def box_iou_cs(center_a, scale_a, center_b, scale_b,
+               pixel_std: float = 200.0) -> np.ndarray:
+    """Per-stream IoU between two (center, scale)-parameterized boxes.
+
+    Host-side (tracker boxes live on the host). centers (B, 2), scales
+    (B, 2) in the dataset's scale*pixel_std convention (``utils/bbox``)."""
+    ca, sa = np.asarray(center_a, np.float64), np.asarray(scale_a, np.float64)
+    cb, sb = np.asarray(center_b, np.float64), np.asarray(scale_b, np.float64)
+    wa, wb = sa * pixel_std, sb * pixel_std  # (B, 2) box w/h
+    lo = np.maximum(ca - wa / 2, cb - wb / 2)
+    hi = np.minimum(ca + wa / 2, cb + wb / 2)
+    inter = np.prod(np.maximum(hi - lo, 0.0), axis=-1)
+    union = np.prod(wa, axis=-1) + np.prod(wb, axis=-1) - inter
+    return inter / np.maximum(union, 1e-12)
+
+
+def merge_stream_states(old: StreamState, new: StreamState,
+                        mask) -> StreamState:
+    """Per-stream select between an ongoing state and a freshly (re-)primed
+    one: streams where ``mask`` is True take ``new``'s buffers, the rest
+    keep ``old``'s.
+
+    The two states index their circular buffers differently (``new`` from
+    ``init_state_from_history`` is newest-last with ``pos = 0``), so the old
+    buffers are first rotated into that canonical layout — frame ``t - k``
+    moves from slot ``(old.pos - 1 - k) mod W`` to slot ``W - 1 - k`` — and
+    the merged state restarts at ``pos = 0``. Selection is per-stream (axis
+    1), leaving unmoved streams bitwise identical to a never-re-primed run
+    (tested in tests/test_streaming.py)."""
+    w = int(old.feats.shape[0])
+    shift = (w - int(old.pos)) % w
+    m = jnp.asarray(mask).reshape(1, -1, 1, 1, 1)
+
+    def sel(new_buf, old_buf):
+        return jnp.where(m, new_buf, jnp.roll(old_buf, shift, axis=0))
+
+    feats_f = None
+    if old.feats_f is not None:
+        feats_f = sel(new.feats_f, old.feats_f)
+    return StreamState(
+        feats=sel(new.feats, old.feats),
+        bb_hms=sel(new.bb_hms, old.bb_hms),
+        pos=jnp.int32(0),
+        feats_f=feats_f,
+    )
 
 
 def stream_shardings(mesh, flip_test: bool = False):
@@ -299,13 +347,22 @@ class StreamingPosePredictor:
     >>> pred = StreamingPosePredictor(model, variables, distance=3)
     >>> pred.prime(first_frames)            # frame 0 of each stream
     >>> hm, kf_bb = pred(next_frames)       # per new frame
-    """
+
+    Crop-locked serving is exact only while the person box is static
+    (module docstring); ``reprime_iou`` adds the automatic box-motion
+    trigger: pass each frame's tracker boxes to :meth:`maybe_reprime` and
+    streams whose current box IoU against their LOCKED crop box drops below
+    the threshold are re-primed from re-cropped history, per stream (other
+    streams' buffers stay bitwise untouched). The threshold default comes
+    from the trained-weights drift A/B (tools/streaming_ab.py,
+    docs/STREAMING_AB.md)."""
 
     def __init__(self, model, variables, distance: int = 3,
                  flip_test: bool = False, flip_batched: bool = False,
-                 mesh=None):
+                 mesh=None, reprime_iou: float = 0.0):
         self.distance = distance
         self.flip_test = flip_test
+        self.reprime_iou = float(reprime_iou)  # 0 disables the trigger
         self._model = model
         self._variables = variables
         self._mesh = mesh
@@ -313,21 +370,57 @@ class StreamingPosePredictor:
                          flip_batched=flip_batched, mesh=mesh)
         self._step = step if mesh is not None else jax.jit(step)
         self._state = None
+        self._locked_center = None
+        self._locked_scale = None
 
-    def prime(self, first_frames):
+    def prime(self, first_frames, centers=None, scales=None):
         self._state = init_state(
             self._model, self._variables, first_frames, self.distance,
             flip_test=self.flip_test, mesh=self._mesh,
         )
+        self._lock_boxes(centers, scales)
 
-    def prime_from_history(self, history):
-        """Re-prime from the last ``T <= 2*distance-1`` frames (oldest
-        first, ``(T, B, H, W, 3)``) — e.g. re-cropped under a moved box;
-        see :func:`init_state_from_history`."""
+    def prime_from_history(self, history, centers=None, scales=None):
+        """Re-prime ALL streams from the last ``T <= 2*distance-1`` frames
+        (oldest first, ``(T, B, H, W, 3)``) — e.g. re-cropped under moved
+        boxes; see :func:`init_state_from_history`."""
         self._state = init_state_from_history(
             self._model, self._variables, history, self.distance,
             flip_test=self.flip_test, mesh=self._mesh,
         )
+        self._lock_boxes(centers, scales)
+
+    def _lock_boxes(self, centers, scales):
+        if centers is not None:
+            self._locked_center = np.array(centers, np.float32)
+            self._locked_scale = np.array(scales, np.float32)
+
+    def boxes_moved(self, centers, scales) -> np.ndarray:
+        """Bool mask of streams whose current box IoU vs the locked crop box
+        fell below ``reprime_iou`` (all-False when the trigger is off or no
+        boxes were locked)."""
+        if self.reprime_iou <= 0.0 or self._locked_center is None:
+            return np.zeros(len(np.atleast_2d(centers)), bool)
+        iou = box_iou_cs(
+            self._locked_center, self._locked_scale, centers, scales
+        )
+        return iou < self.reprime_iou
+
+    def maybe_reprime(self, centers, scales, history) -> np.ndarray:
+        """Apply the box-motion policy: re-prime exactly the streams whose
+        box moved past the threshold, from ``history`` (``(T, B, H, W, 3)``,
+        oldest first, frames re-cropped under the NEW boxes — only the
+        triggered streams' columns are consumed). Returns the mask."""
+        mask = self.boxes_moved(centers, scales)
+        if mask.any():
+            new = init_state_from_history(
+                self._model, self._variables, history, self.distance,
+                flip_test=self.flip_test, mesh=self._mesh,
+            )
+            self._state = merge_stream_states(self._state, new, mask)
+            self._locked_center[mask] = np.asarray(centers, np.float32)[mask]
+            self._locked_scale[mask] = np.asarray(scales, np.float32)[mask]
+        return mask
 
     def __call__(self, frames):
         assert self._state is not None, "call prime(first_frames) first"

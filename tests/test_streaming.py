@@ -256,3 +256,95 @@ def test_predictor_prime_from_history(model_and_vars, rng):
     p.prime_from_history(frames[:3])
     hm, kf = p(frames[3])
     assert hm.shape == kf.shape and np.isfinite(np.asarray(hm)).all()
+
+
+def test_box_iou_cs_values():
+    from fami_pose_tpu.engine.streaming import box_iou_cs
+
+    c = np.array([[100.0, 100.0], [100.0, 100.0], [100.0, 100.0]])
+    s = np.array([[0.5, 0.5]] * 3)  # 100x100 boxes
+    c2 = np.array([[100.0, 100.0], [150.0, 100.0], [300.0, 300.0]])
+    iou = box_iou_cs(c, s, c2, s)
+    np.testing.assert_allclose(iou[0], 1.0)
+    np.testing.assert_allclose(iou[1], 50.0 / 150.0, rtol=1e-6)  # half overlap
+    np.testing.assert_allclose(iou[2], 0.0)
+
+
+def test_merge_stream_states_per_stream_bitwise(model_and_vars, rng):
+    """Per-stream re-prime: the untriggered stream's subsequent emissions
+    must equal a never-re-primed run BITWISE; the triggered stream must
+    equal a fully-re-primed run."""
+    from fami_pose_tpu.engine.streaming import (
+        init_state_from_history,
+        merge_stream_states,
+    )
+
+    m, v = model_and_vars
+    n = 9
+    frames = _frames(rng, n)
+    # "re-cropped" history for the moved stream: different pixel content
+    frames_new = _frames(np.random.RandomState(123), n)
+    step = jax.jit(make_step(m, v, DISTANCE))
+
+    # reference A: never re-primed
+    st_a = init_state(m, v, frames[0], DISTANCE)
+    outs_a = []
+    for t in range(n):
+        st_a, (hm, _) = step(st_a, frames[t])
+        outs_a.append(np.asarray(hm))
+
+    # reference B: all streams re-primed at t0 from the new crops
+    t0, t_hist = 4, 3
+    hist_new = frames_new[t0 - t_hist + 1 : t0 + 1]
+    st_b = init_state_from_history(m, v, hist_new, DISTANCE)
+    outs_b = []
+    for t in range(t0 + 1, n):
+        st_b, (hm, _) = step(st_b, frames_new[t])
+        outs_b.append(np.asarray(hm))
+
+    # merged: stream 0 keeps its ongoing state, stream 1 re-primes
+    st_m = init_state(m, v, frames[0], DISTANCE)
+    for t in range(t0 + 1):
+        st_m, _ = step(st_m, frames[t])
+    new = init_state_from_history(m, v, hist_new, DISTANCE)
+    st_m = merge_stream_states(st_m, new, np.array([False, True]))
+    for i, t in enumerate(range(t0 + 1, n)):
+        mixed = jnp.concatenate(
+            [frames[t, :1], frames_new[t, 1:]], axis=0
+        )
+        st_m, (hm, _) = step(st_m, mixed)
+        hm = np.asarray(hm)
+        np.testing.assert_array_equal(hm[0], outs_a[t][0])
+        np.testing.assert_array_equal(hm[1], outs_b[i][1])
+
+
+def test_predictor_maybe_reprime_policy(model_and_vars, rng):
+    """Box-motion trigger: only the stream whose box IoU vs its locked crop
+    drops below the threshold re-primes; locked boxes update for it only."""
+    m, v = model_and_vars
+    frames = _frames(rng, 6)
+    centers0 = np.array([[50.0, 50.0], [50.0, 50.0]], np.float32)
+    scales0 = np.array([[0.4, 0.4], [0.4, 0.4]], np.float32)
+    p = StreamingPosePredictor(m, v, distance=DISTANCE, reprime_iou=0.6)
+    p.prime(frames[0], centers=centers0, scales=scales0)
+    for t in range(1, 4):
+        p(frames[t])
+
+    # stream 0 static, stream 1 moved far
+    centers1 = np.array([[50.0, 50.0], [90.0, 50.0]], np.float32)
+    mask = p.maybe_reprime(centers1, scales0, history=frames[1:4])
+    np.testing.assert_array_equal(mask, [False, True])
+    np.testing.assert_allclose(p._locked_center[0], centers0[0])
+    np.testing.assert_allclose(p._locked_center[1], centers1[1])
+    hm, kf = p(frames[4])
+    assert np.isfinite(np.asarray(hm)).all()
+
+    # below-threshold motion does not trigger
+    centers2 = np.array([[51.0, 50.0], [90.0, 50.0]], np.float32)
+    mask2 = p.maybe_reprime(centers2, scales0, history=frames[2:5])
+    np.testing.assert_array_equal(mask2, [False, False])
+
+    # trigger disabled -> never re-primes
+    q = StreamingPosePredictor(m, v, distance=DISTANCE)
+    q.prime(frames[0], centers=centers0, scales=scales0)
+    assert not q.boxes_moved(centers1, scales0).any()
