@@ -984,7 +984,7 @@ def _best_row_block(h: int, target: int = 16) -> int:
 def make_deform_conv_fn(
     *, padding: int, dilation: int, offset_groups: int, max_offset: int,
     use_pallas: bool, aux_channel_first: bool = False,
-    kernel_version: int = None,
+    kernel_version: int = None, bwd_kernel_version: int = None,
 ):
     """Factory returning a differentiable DCN: fused Pallas forward with the
     XLA windowed implementation as the backward (they compute the same
@@ -1002,9 +1002,21 @@ def make_deform_conv_fn(
     """
     from fami_pose_tpu.ops.deform_conv import deform_conv2d_windowed
 
+    import os as _os
+
     if kernel_version is None:
-        kernel_version = 9 if int(max_offset) <= 2 else 3
+        # FAMI_DCN_KERNEL overrides for shootouts (tools/bench_train_step.py)
+        kernel_version = int(_os.environ.get("FAMI_DCN_KERNEL", "0")) or (
+            9 if int(max_offset) <= 2 else 3
+        )
     kernel_version = int(kernel_version)
+    if bwd_kernel_version is None:
+        # v9 (sx-grouped rolls) vs v3 (per-cell rolls): shootout in
+        # docs/PERFORMANCE.md; FAMI_DCN_BWD_KERNEL overrides
+        bwd_kernel_version = int(
+            _os.environ.get("FAMI_DCN_BWD_KERNEL", "3")
+        )
+    bwd_kernel_version = int(bwd_kernel_version)
 
     def windowed(x, offset, mask, weight, bias):
         return deform_conv2d_windowed(
@@ -1048,6 +1060,7 @@ def make_deform_conv_fn(
                 x.shape[1], target=8 if max_offset <= 4 else 4
             ),
             aux_channel_first=aux_channel_first,
+            kernel_version=bwd_kernel_version,
         )
         if bias is None:
             db = None

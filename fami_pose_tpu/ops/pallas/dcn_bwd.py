@@ -156,6 +156,127 @@ def _bwd_fwdside_kernel(
             )
 
 
+def _bwd_fwdside_kernel_v9(
+    x_ref, off_ref, msk_ref, w_ref, g_ref, doff_ref, dmsk_ref, dw_ref,
+    *, kh, kw, dil, pad, d_max, groups, cg, tr, c_in, c_out, margin,
+):
+    """Strip-rolled dW/dmask/doffset (the v9 forward algebra applied to the
+    backward, VERDICT r3 #4).
+
+    The baseline kernel rolls the x row-window once per support cell —
+    ``kh*kw*(2D+1)^2`` whole-block rolls. Here ONE slice pulls the strip of
+    rows this block can touch and each distinct horizontal displacement
+    ``sx = b*dil - pad + dx`` is ONE whole-strip roll (2(pad+D)+1 total,
+    hoisted out of every loop); every (tap, dy, dx) contribution is then a
+    *static* row-slice of a rolled strip. The wrap-around rows/lanes only
+    touch discarded margin columns (|sx| <= pad+D < margin, the same v2/v9
+    invariant). Per-cell math is identical to the baseline up to f32
+    re-association (the accumulation order is sx-grouped instead of
+    dy-major), so gradients match within test tolerance, not bitwise.
+    """
+    row0 = pl.program_id(1) * tr
+    trwp = tr * LANE
+    base = (margin + row0) * LANE
+    k = kh * kw
+    win = list(range(-d_max, d_max + 1))
+
+    first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+
+    @pl.when(first)
+    def _():
+        dw_ref[...] = jnp.zeros_like(dw_ref)
+
+    gout_blk = g_ref[0, :, pl.ds(base, trwp)].astype(jnp.float32)  # (Co, TRWP)
+
+    tys, txs, ty_raws, tx_raws, ms, dcols = [], [], [], [], [], []
+    for t in range(k):
+        ty_raw = off_ref[
+            0, (t * 2 + 0) * groups : (t * 2 + 1) * groups, pl.ds(base, trwp)
+        ].astype(jnp.float32)
+        tx_raw = off_ref[
+            0, (t * 2 + 1) * groups : (t * 2 + 2) * groups, pl.ds(base, trwp)
+        ].astype(jnp.float32)
+        ty_raws.append(ty_raw)
+        tx_raws.append(tx_raw)
+        tys.append(jnp.clip(ty_raw, -d_max, d_max))
+        txs.append(jnp.clip(tx_raw, -d_max, d_max))
+        ms.append(
+            msk_ref[
+                0, t * groups : (t + 1) * groups, pl.ds(base, trwp)
+            ].astype(jnp.float32)
+        )
+        dcols.append(
+            jax.lax.dot_general(
+                w_ref[t], gout_blk,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).reshape(cg, groups, trwp)
+        )
+
+    s_accs = [jnp.zeros((cg, groups, trwp), jnp.float32) for _ in range(k)]
+    dmsk_accs = [jnp.zeros((groups, trwp), jnp.float32) for _ in range(k)]
+    dty_accs = [jnp.zeros((groups, trwp), jnp.float32) for _ in range(k)]
+    dtx_accs = [jnp.zeros((groups, trwp), jnp.float32) for _ in range(k)]
+
+    sr = tr + (kh - 1) * dil + 2 * d_max  # strip rows this block touches
+    srwp = sr * LANE
+    sbase = margin + row0 - pad - d_max
+    xwin = x_ref[0, :, pl.ds(sbase * LANE, srwp)]
+
+    for sx in range(-pad - d_max, (kw - 1) * dil - pad + d_max + 1):
+        users = [
+            (b, sx - (b * dil - pad))
+            for b in range(kw)
+            if abs(sx - (b * dil - pad)) <= d_max
+        ]
+        if not users:
+            continue
+        xs = pltpu.roll(xwin, (-sx) % srwp, axis=1)
+        for b, dx_ in users:
+            for a in range(kh):
+                t = a * kw + b
+                ux = txs[t] - dx_
+                wx = jnp.maximum(0.0, 1.0 - jnp.abs(ux))
+                dhatx = -jnp.sign(ux) * (jnp.abs(ux) < 1.0)
+                for dy in win:
+                    # output row r samples strip row r + a*dil + dy + d_max
+                    r0 = (a * dil + dy + d_max) * LANE
+                    xs3 = xs[:, r0 : r0 + trwp].reshape(cg, groups, trwp)
+                    uy = tys[t] - dy
+                    wy = jnp.maximum(0.0, 1.0 - jnp.abs(uy))
+                    dhaty = -jnp.sign(uy) * (jnp.abs(uy) < 1.0)
+                    w2 = wy * wx
+                    s_accs[t] = s_accs[t] + xs3 * w2[None]
+                    common = jnp.sum(xs3 * dcols[t], axis=0)  # (G, TRWP)
+                    cm = common * ms[t]
+                    dmsk_accs[t] = dmsk_accs[t] + w2 * common
+                    dty_accs[t] = dty_accs[t] + dhaty * wx * cm
+                    dtx_accs[t] = dtx_accs[t] + wy * dhatx * cm
+
+    for t in range(k):
+        col = (s_accs[t] * ms[t][None]).reshape(c_in, trwp)
+        dw_ref[t] += jax.lax.dot_general(
+            col, gout_blk,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dty_final = dty_accs[t] * (
+            (ty_raws[t] >= -d_max) & (ty_raws[t] <= d_max)
+        ).astype(jnp.float32)
+        dtx_final = dtx_accs[t] * (
+            (tx_raws[t] >= -d_max) & (tx_raws[t] <= d_max)
+        ).astype(jnp.float32)
+        doff_ref[0, (t * 2 + 0) * groups : (t * 2 + 1) * groups, :] = (
+            dty_final.astype(doff_ref.dtype)
+        )
+        doff_ref[0, (t * 2 + 1) * groups : (t * 2 + 2) * groups, :] = (
+            dtx_final.astype(doff_ref.dtype)
+        )
+        dmsk_ref[0, t * groups : (t + 1) * groups, :] = dmsk_accs[t].astype(
+            dmsk_ref.dtype
+        )
+
+
 def _bwd_dx_kernel(
     off_ref, msk_ref, w_ref, g_ref, dx_ref, bscratch_ref,
     *, kh, kw, dil, pad, d_max, groups, cg, tr, c_in, c_out, margin,
@@ -233,19 +354,104 @@ def _bwd_dx_kernel(
     dx_ref[0] = dx_acc.astype(dx_ref.dtype)
 
 
+def _bwd_dx_kernel_v9(
+    off_ref, msk_ref, w_ref, g_ref, dx_ref, bscratch_ref,
+    *, kh, kw, dil, pad, d_max, groups, cg, tr, c_in, c_out, margin,
+):
+    """Shift-adjoint dx with rolls grouped by horizontal displacement.
+
+    The baseline rolls the (C, TRWP) product once per support cell —
+    ``kh*kw*(2D+1)^2`` rolls (729 at D=4), and the roll is ~a third of each
+    cell's work. The roll is linear, so all products sharing the same
+    ``sx = b*dil - pad + dx`` are accumulated UNROLLED into one per-``sx``
+    accumulator and rolled ONCE at the end: 2(pad+D)+1 rolls total. The row
+    part of the shift stays a static slice of the per-tap-staged dcol (and
+    of the padded offset/mask images), exactly like the baseline. Identical
+    math up to f32 re-association (sx-grouped accumulation order).
+    """
+    row0 = pl.program_id(1) * tr
+    trwp = tr * LANE
+    thw = (tr + 2 * margin) * LANE
+    win = list(range(-d_max, d_max + 1))
+    sxs = sorted(
+        {
+            b * dil - pad + dx_
+            for b in range(kw)
+            for dx_ in win
+        }
+    )
+
+    gout_halo = g_ref[0, :, pl.ds(row0 * LANE, thw)].astype(jnp.float32)
+    accs = {sx: jnp.zeros((c_in, trwp), jnp.float32) for sx in sxs}
+
+    for a in range(kh):
+        for b in range(kw):
+            t = a * kw + b
+            sy0 = a * dil - pad
+            sx0 = b * dil - pad
+
+            # stage dcol for this tap ONCE (the only scratch write)
+            bscratch_ref[...] = jax.lax.dot_general(
+                w_ref[t], gout_halo,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (C, THW)
+
+            for dy in win:
+                start = (margin - sy0 - dy) * LANE
+                dcol_p3 = bscratch_ref[:, start : start + trwp].reshape(
+                    cg, groups, trwp
+                )
+                ty_p = off_ref[
+                    0, (t * 2 + 0) * groups : (t * 2 + 1) * groups,
+                    pl.ds(row0 * LANE + start, trwp),
+                ]
+                tx_p = off_ref[
+                    0, (t * 2 + 1) * groups : (t * 2 + 2) * groups,
+                    pl.ds(row0 * LANE + start, trwp),
+                ]
+                m_p = msk_ref[
+                    0, t * groups : (t + 1) * groups,
+                    pl.ds(row0 * LANE + start, trwp),
+                ].astype(jnp.float32)
+                ty_p = jnp.clip(ty_p.astype(jnp.float32), -d_max, d_max)
+                tx_p = jnp.clip(tx_p.astype(jnp.float32), -d_max, d_max)
+                wy_p = jnp.maximum(
+                    0.0, 1.0 - jnp.abs(ty_p - float(dy))
+                ) * m_p  # (G, TRWP)
+                for dx_ in win:
+                    wx_p = jnp.maximum(0.0, 1.0 - jnp.abs(tx_p - dx_))
+                    w2 = wy_p * wx_p
+                    prod = (dcol_p3 * w2[None]).reshape(c_in, trwp)
+                    accs[sx0 + dx_] = accs[sx0 + dx_] + prod
+
+    dx_acc = jnp.zeros((c_in, trwp), jnp.float32)
+    for sx in sxs:
+        dx_acc = dx_acc + pltpu.roll(accs[sx], sx % trwp, axis=1)
+    dx_ref[0] = dx_acc.astype(dx_ref.dtype)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("padding", "dilation", "offset_groups", "max_offset",
-                     "row_block", "interpret", "aux_channel_first"),
+                     "row_block", "interpret", "aux_channel_first",
+                     "kernel_version"),
 )
 def deform_conv2d_windowed_bwd_pallas(
     x, offset, mask, weight, gout, *, padding=3, dilation=3,
     offset_groups=12, max_offset=4, row_block=16, interpret=None,
-    aux_channel_first: bool = False,
+    aux_channel_first: bool = False, kernel_version: int = 3,
 ):
-    """Gradients (dx, doffset, dmask, dweight, dbias) of the windowed DCN."""
+    """Gradients (dx, doffset, dmask, dweight, dbias) of the windowed DCN.
+
+    ``kernel_version``: 3 = the per-cell-roll baseline kernels, 9 = the
+    strip-rolled / sx-grouped variants (one roll per distinct horizontal
+    displacement instead of one per support cell; same math up to f32
+    re-association).
+    """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    v9 = int(kernel_version) == 9
     n, h, w, c = x.shape
     kh, kw, wc, c_out = weight.shape
     k = kh * kw
@@ -311,8 +517,12 @@ def deform_conv2d_windowed_bwd_pallas(
         kh=kh, kw=kw, dil=dil, pad=pad, d_max=d_max, groups=g, cg=cg, tr=tr,
         c_in=c, c_out=c_out, margin=margin,
     )
-    kernel_fwdside = functools.partial(_bwd_fwdside_kernel, **common)
-    kernel_dx = functools.partial(_bwd_dx_kernel, **common)
+    kernel_fwdside = functools.partial(
+        _bwd_fwdside_kernel_v9 if v9 else _bwd_fwdside_kernel, **common
+    )
+    kernel_dx = functools.partial(
+        _bwd_dx_kernel_v9 if v9 else _bwd_dx_kernel, **common
+    )
 
     thw = thw_rows * LANE
     # full padded images in VMEM (~16 MB at C=96 with double-buffering)

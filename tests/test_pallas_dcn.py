@@ -73,6 +73,36 @@ def test_factory_custom_vjp_gradients(rng):
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), rtol=1e-3, atol=1e-4)
 
 
+@pytest.mark.parametrize("bwd_version", [3, 9])
+def test_bwd_pallas_all_grads_match_vjp(rng, bwd_version):
+    """All five gradients of the fused backward (both kernel generations)
+    vs jax.vjp through the windowed XLA reference."""
+    from fami_pose_tpu.ops.pallas.dcn_bwd import (
+        deform_conv2d_windowed_bwd_pallas,
+    )
+
+    x, off, msk, wgt, bias = _inputs(rng, n=2, h=16, w=16)
+    gout = jnp.asarray(rng.randn(2, 16, 16, 6).astype(np.float32))
+
+    def f(x, off, msk, wgt, bias):
+        return deform_conv2d_windowed(
+            x, off, msk, wgt, bias, padding=3, dilation=3, max_offset=2
+        )
+
+    _, vjp = jax.vjp(f, x, off, msk, wgt, bias)
+    refs = vjp(gout)
+    got = deform_conv2d_windowed_bwd_pallas(
+        x, off, msk, wgt, gout, padding=3, dilation=3, offset_groups=2,
+        max_offset=2, row_block=8, kernel_version=bwd_version,
+    )
+    names = ("dx", "doffset", "dmask", "dweight", "dbias")
+    for name, g, r in zip(names, got, refs):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(r), rtol=2e-3, atol=2e-4,
+            err_msg=f"{name} (bwd_version={bwd_version})",
+        )
+
+
 def test_factory_windowed_passthrough(rng):
     x, off, msk, wgt, bias = _inputs(rng, n=1, h=16, w=16)
     fn = make_deform_conv_fn(
