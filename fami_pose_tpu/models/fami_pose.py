@@ -35,6 +35,7 @@ from typing import Any, Dict
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from fami_pose_tpu.ops.deform_conv import deform_conv2d, deform_conv2d_windowed
 from fami_pose_tpu.ops.warp import warp_translate
@@ -74,7 +75,13 @@ class _CFConvParams(nn.Module):
         bias = self.param(
             "bias", nn.initializers.zeros, (self.features,), jnp.float32
         )
-        perm = jnp.asarray(self.perm)
+        # keep the permutation a STATIC numpy index: under jit,
+        # jnp.asarray(np_array) is a tracer (constant tracing), and indexing
+        # a closed-over numpy param (e.g. checkpoint-loaded variables) with a
+        # tracer raises TracerArrayConversionError; static fancy-indexing
+        # works for numpy and tracer kernels alike and lets XLA fold the
+        # gather into the conv weight constant
+        perm = np.asarray(self.perm)
         p, d = self.padding, self.dilation
         y = jax.lax.conv_general_dilated(
             x.astype(self.dtype),

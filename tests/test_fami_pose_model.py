@@ -183,6 +183,39 @@ def test_aux_channel_first_model_equivalence(rng):
     np.testing.assert_allclose(np.asarray(bb_cf), np.asarray(bb_ref))
 
 
+def test_aux_channel_first_numpy_variables_under_jit(rng):
+    """Checkpoint-loaded variables are host numpy arrays; a serving step that
+    CLOSES OVER them (engine/streaming.make_step) must still trace. Under
+    constant-tracing JAX, jnp.asarray(perm) inside the trace is a tracer, and
+    numpy-kernel[..., tracer] raises TracerArrayConversionError — the perm
+    must stay a static numpy index (regression: tools/streaming_ab crash)."""
+    import jax
+    import jax.numpy as jnp
+
+    from fami_pose_tpu.models.fami_pose import FAMIPose
+    from fami_pose_tpu.models.hrnet import TINY_EXTRA
+
+    m = FAMIPose(
+        extra=TINY_EXTRA, num_joints=17, feat_channels=8,
+        dcn_offset_groups=4, dcn_max_offset=2, use_pallas_dcn=True,
+        dcn_aux_channel_first=True,
+    )
+    kf = jnp.asarray(rng.rand(1, 64, 64, 3), jnp.float32)
+    sup = jnp.asarray(rng.rand(1, 64, 64, 12), jnp.float32)
+    v = m.init(jax.random.PRNGKey(3), kf, sup, train=False)
+    v_np = jax.tree.map(lambda a: np.asarray(a), v)  # like load_variables
+
+    @jax.jit
+    def step(kf, sup):
+        return m.apply(v_np, kf, sup, train=False)
+
+    f_jit, _ = step(kf, sup)
+    f_ref, _ = m.apply(v, kf, sup, train=False)
+    np.testing.assert_allclose(
+        np.asarray(f_jit), np.asarray(f_ref), rtol=2e-5, atol=2e-5
+    )
+
+
 def test_direct_construction_zero_max_offset_selects_exact_path(rng):
     """dcn_max_offset=0 passed directly (not via from_config) must select the
     exact gather path, matching dcn_max_offset=None bit-for-bit — not a

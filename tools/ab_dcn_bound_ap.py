@@ -43,7 +43,15 @@ def main():
     p.add_argument("--videos", type=int, default=2)
     p.add_argument("--frames", type=int, default=5)
     p.add_argument("--seed", type=int, default=19970808)
+    p.add_argument("--ckpt", default=None,
+                   help="TRAINED checkpoint (tools/sustained_train_w48.py "
+                        "output); switches to that run's exact fixture "
+                        "(seed 3, joint markers) so the offset distribution "
+                        "and AP deltas reflect trained weights (VERDICT r3 "
+                        "#1b). Implies --w48.")
     args = p.parse_args()
+    if args.ckpt:
+        args.w48 = True
 
     from fixtures import make_cfg, make_posetrack_fixture
     from test_end_to_end import _write_gt_annolists
@@ -52,13 +60,22 @@ def main():
     from fami_pose_tpu.models.hrnet import TINY_EXTRA, W48_EXTRA
 
     root = tempfile.mkdtemp(prefix="ab_dcn_")
-    _, img_dir = make_posetrack_fixture(
-        root, n_videos=args.videos, n_frames=args.frames, people_per_frame=2,
-        seed=args.seed % (2 ** 31),
-    )
+    if args.ckpt:
+        # bitwise-identical fixture to the sustained-training run
+        _, img_dir = make_posetrack_fixture(
+            root, n_videos=2, n_frames=5, people_per_frame=2, seed=3,
+            draw_joints=True,
+        )
+    else:
+        _, img_dir = make_posetrack_fixture(
+            root, n_videos=args.videos, n_frames=args.frames,
+            people_per_frame=2, seed=args.seed % (2 ** 31),
+        )
     cfg = make_cfg(osp.join(root, "json"), img_dir)
     cfg.MODEL.NAME = "FAMIPose"
     cfg.MODEL.EXTRA = W48_EXTRA if args.w48 else TINY_EXTRA
+    if args.ckpt:
+        cfg.TPU.COMPUTE_DTYPE = "bfloat16"
     if not args.w48:
         cfg.TPU.COMPUTE_DTYPE = "float32"
         cfg.TPU.DCN_OFFSET_GROUPS = 4
@@ -79,12 +96,16 @@ def main():
         c.TPU.DCN_MAX_OFFSET = d
         ev = Evaluator(c)
         if variables is None:
-            variables = jax.jit(
-                lambda: ev.model.init(
-                    jax.random.PRNGKey(0), *ev._example, train=False
-                )
-            )()
-            variables = jax.device_get(variables)
+            if args.ckpt:
+                variables = ev.load_variables(args.ckpt)
+                print(f"loaded trained variables from {args.ckpt}")
+            else:
+                variables = jax.jit(
+                    lambda: ev.model.init(
+                        jax.random.PRNGKey(0), *ev._example, train=False
+                    )
+                )()
+                variables = jax.device_get(variables)
 
             # actual offset-conv outputs on a real fixture batch
             raw = next(iter(ev.loader))

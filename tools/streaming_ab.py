@@ -73,6 +73,12 @@ def main():
         default="/tmp/w48_sustain_gfzi1lp5/ckpt/epoch_149_state.ckpt",
         help="trained checkpoint (tools/sustained_train_w48.py output)",
     )
+    p.add_argument(
+        "--reprime-iou", type=float, nargs="*", default=[0.9, 0.7, 0.5],
+        help="also serve variant C: crop-locked + automatic box-motion "
+             "re-prime (StreamingPosePredictor.maybe_reprime) at each IoU "
+             "threshold; reports AP + re-prime rate per threshold",
+    )
     args = p.parse_args()
 
     from fixtures import make_posetrack_fixture
@@ -93,6 +99,9 @@ def main():
         draw_joints=True,
     )
     cfg = build_cfg(root, img_dir)
+    from test_end_to_end import _write_gt_annolists
+
+    cfg.VAL.ANNOT_DIR = _write_gt_annolists(root, img_dir, cfg)
     dataset = DATASET_REGISTRY.get(cfg.DATASET.NAME)(cfg, VAL_PHASE)
     model = build_model(cfg, VAL_PHASE)
     w_in, h_in = int(cfg.MODEL.IMAGE_SIZE[0]), int(cfg.MODEL.IMAGE_SIZE[1])
@@ -234,6 +243,101 @@ def main():
                 emitted += 1
     assert emitted == n, (emitted, n)
 
+    # ---- C: crop-locked + automatic box-motion re-prime -----------------
+    # (StreamingPosePredictor.maybe_reprime; VERDICT r3 #5 — the AP-vs-
+    # re-prime-rate curve that turns the crop-locked bench setting into an
+    # honest serving default)
+    from fami_pose_tpu.engine.streaming import StreamingPosePredictor
+
+    w_buf = 2 * distance - 1
+
+    def frame_path(key, fid):
+        any_item = db[streams[key][min(streams[key])]]
+        return osp.join(
+            osp.dirname(any_item["image"]),
+            str(fid).zfill(len(osp.basename(any_item["image"])) - 4)
+            + ".jpg",
+        )
+
+    def gt_box(key, fid):
+        """Current tracker box for this stream (GT box in the fixture)."""
+        if fid in streams[key]:
+            it = db[streams[key][fid]]
+            return it["center"], it["scale"]
+        return None
+
+    def run_reprime(thr):
+        pred = StreamingPosePredictor(
+            model, variables, distance, reprime_iou=thr
+        )
+        cur_c = lock_c.copy()
+        cur_s = lock_s.copy()
+        first = np.stack(
+            [
+                crop(frame(frame_path(key, frame_ids[0])), cur_c[k], cur_s[k])
+                for k, key in enumerate(keys)
+            ]
+        )
+        pred.prime(jnp.asarray(first, jnp.float32), cur_c, cur_s)
+        preds_c = np.zeros((n, num_joints, 3), np.float32)
+        n_reprimed = 0
+        for t in range(total_steps):
+            fid = frame_ids[min(t, len(frame_ids) - 1)]
+            boxes = [gt_box(key, fid) for key in keys]
+            new_c = np.stack(
+                [b[0] if b else cur_c[k] for k, b in enumerate(boxes)]
+            ).astype(np.float32)
+            new_s = np.stack(
+                [b[1] if b else cur_s[k] for k, b in enumerate(boxes)]
+            ).astype(np.float32)
+            mask = pred.boxes_moved(new_c, new_s)
+            if mask.any():
+                # history: the last W frames re-cropped under the NEW boxes
+                hist_fids = [
+                    frame_ids[max(min(t, len(frame_ids) - 1) - d, 0)]
+                    for d in range(w_buf - 1, -1, -1)
+                ]
+                hist = np.stack(
+                    [
+                        np.stack(
+                            [
+                                crop(
+                                    frame(frame_path(key, hf)),
+                                    new_c[k], new_s[k],
+                                )
+                                for k, key in enumerate(keys)
+                            ]
+                        )
+                        for hf in hist_fids
+                    ]
+                )
+                pred.maybe_reprime(new_c, new_s, jnp.asarray(hist, jnp.float32))
+                cur_c[mask] = new_c[mask]
+                cur_s[mask] = new_s[mask]
+                n_reprimed += int(mask.sum())
+            f_t = np.stack(
+                [
+                    crop(frame(frame_path(key, fid)), cur_c[k], cur_s[k])
+                    for k, key in enumerate(keys)
+                ]
+            )
+            hm, _ = pred(jnp.asarray(f_t, jnp.float32))
+            key_t = t - lat
+            if key_t < 0:
+                continue
+            efid = frame_ids[key_t]
+            p_c, m_c = dark_get_final_preds(
+                jnp.transpose(hm.astype(jnp.float32), (0, 3, 1, 2)),
+                cur_c, cur_s,
+            )
+            p_c, m_c = np.asarray(p_c), np.asarray(m_c)
+            for k, key in enumerate(keys):
+                if efid in streams[key]:
+                    i = streams[key][efid]
+                    preds_c[i, :, :2] = p_c[k]
+                    preds_c[i, :, 2:3] = m_c[k]
+        return preds_c, n_reprimed
+
     # ---- compare --------------------------------------------------------
     drift = np.linalg.norm(
         all_preds_a[:, :, :2] - all_preds_b[:, :, :2], axis=-1
@@ -243,18 +347,29 @@ def main():
         f"mean {drift.mean():.3f}  p95 {np.percentile(drift, 95):.3f}  "
         f"max {drift.max():.3f}"
     )
+    variants = [("batch", all_preds_a, None), ("streaming", all_preds_b, None)]
+    for thr in args.reprime_iou or []:
+        preds_c, n_rep = run_reprime(thr)
+        variants.append((f"reprime@{thr}", preds_c, n_rep))
     res = {}
-    for tag, pr in (("batch", all_preds_a), ("streaming", all_preds_b)):
+    total_emissions = n
+    for tag, pr, n_rep in variants:
         out_dir = osp.join(root, f"eval_{tag}")
         name_value, mean = dataset.evaluate(
             cfg, pr, out_dir, all_boxes, img_path_map
         )
         res[tag] = dict(name_value)
-        print(f"[{tag}] {dict(name_value)}")
-    deltas = {
-        k: res["streaming"][k] - res["batch"][k] for k in res["batch"]
-    }
-    print(f"AP delta (streaming - batch): {deltas}")
+        extra = (
+            f"  (re-primes: {n_rep}, rate {n_rep / total_emissions:.2f}/"
+            f"emission)" if n_rep is not None else ""
+        )
+        print(f"[{tag}] {dict(name_value)}{extra}")
+    for tag in res:
+        if tag == "batch":
+            continue
+        deltas = {k: res[tag][k] - res["batch"][k] for k in res["batch"]}
+        print(f"AP delta ({tag} - batch): "
+              + ", ".join(f"{k}={v:+.2f}" for k, v in deltas.items()))
 
 
 if __name__ == "__main__":
