@@ -996,9 +996,10 @@ def make_deform_conv_fn(
     forward and backward prep (only valid with ``use_pallas``).
 
     ``kernel_version=None`` auto-selects: the gather-free strip-rolled v9
-    for small serving windows (D <= 2, where it measures ~17% faster
-    op-level and its (2D+1)^2 unroll stays small), v3 otherwise
-    (docs/PERFORMANCE.md shootouts).
+    for the D=1 serving window (measures ~16% faster op-level and its
+    (2D+1)^2 unroll stays small), v3 for every larger window
+    (docs/PERFORMANCE.md shootouts; v9 loses from D=2 up and its scoped
+    vmem grows with the squared window).
     """
     from fami_pose_tpu.ops.deform_conv import deform_conv2d_windowed
 
@@ -1006,8 +1007,14 @@ def make_deform_conv_fn(
 
     if kernel_version is None:
         # FAMI_DCN_KERNEL overrides for shootouts (tools/bench_train_step.py)
+        # v9 only at D=1: the r4 on-chip shootout (tools/probe_v9_vmem.py,
+        # docs/PERFORMANCE.md) measured v9/v3 = 9.8/11.6 ms at D=1 but
+        # 17.3/15.9 at D=2 and 43.1/24.2 at D=4 — the (2D+1)^2 static
+        # window's FMA count outgrows v3's gather form past D=1, and its
+        # Mosaic scoped-vmem stack (~cells*row_block) OOMs co-resident in
+        # large programs at D>=2 (the r4 eval regression)
         kernel_version = int(_os.environ.get("FAMI_DCN_KERNEL", "0")) or (
-            9 if int(max_offset) <= 2 else 3
+            9 if int(max_offset) <= 1 else 3
         )
     kernel_version = int(kernel_version)
     if bwd_kernel_version is None:
