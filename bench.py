@@ -30,6 +30,9 @@ Every other mode is recorded alongside for full transparency:
     OKS-NMS, one jit — per mode/protocol. ``streaming_pipeline_int8`` is the
     full pipeline at the streaming rate (flipped-frame features are cached
     too).
+  * ``streaming_pipeline_int8_noflip``: the config-3 pipeline without the
+    flipped second forward — the serving default if the trained-weights
+    flip A/B licenses it.
   * ``streaming_clips_per_sec``: streaming protocol at bf16 parity numerics.
 
 Env knobs: BENCH_BATCH (default 128), BENCH_ITERS (default 20), BENCH_DTYPE
@@ -275,6 +278,12 @@ def main():
             )
             record["streaming_pipeline_int8_clips_per_sec"] = (
                 measure_streaming(m_int8, v8, flip_test=True, pipeline=True)
+            )
+            # config-3 pipeline with flip-test OFF: the serving default IF
+            # the trained-weights flip A/B (tools/flip_ab.py,
+            # docs/SERVING.md) licenses dropping the 2x flipped forward
+            record["streaming_pipeline_int8_noflip_clips_per_sec"] = (
+                measure_streaming(m_int8, v8, flip_test=False, pipeline=True)
             )
             record["streaming_clips_per_sec"] = measure_streaming(
                 m_bf16, vb, flip_test=False, pipeline=False

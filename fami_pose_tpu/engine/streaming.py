@@ -410,7 +410,13 @@ class StreamingPosePredictor:
         """Apply the box-motion policy: re-prime exactly the streams whose
         box moved past the threshold, from ``history`` (``(T, B, H, W, 3)``,
         oldest first, frames re-cropped under the NEW boxes — only the
-        triggered streams' columns are consumed). Returns the mask."""
+        triggered streams' columns are consumed). Returns the mask.
+
+        ``history`` must hold the frames ALREADY FED — the last ``T`` step
+        inputs up to and including the PREVIOUS step's — re-cropped under
+        the new boxes. Including the frame about to be fed would insert it
+        twice and shift every later emission by one frame (the off-by-one
+        measured at -8 AP on the jitter fixture, tools/streaming_ab.py)."""
         mask = self.boxes_moved(centers, scales)
         if mask.any():
             new = init_state_from_history(

@@ -22,7 +22,7 @@ def _person(rng, cx, cy):
 
 def make_posetrack_fixture(
     root, n_videos=2, n_frames=5, people_per_frame=2, posetrack18=False,
-    seed=0, draw_joints=False,
+    seed=0, draw_joints=False, motion=None, occlude=0.0,
 ):
     """Write images + a COCO-style json; returns (json_path, img_dir).
 
@@ -31,6 +31,26 @@ def make_posetrack_fixture(
     ``draw_joints`` paints a distinct-colored disc at every keypoint so the
     image->pose mapping is learnable from LOCAL features (convergence tests)
     instead of pure noise memorization.
+
+    ``motion``: None (default, bitwise-stable RNG stream — existing trained
+    checkpoints regenerate their fixture exactly) keeps each person's center
+    FIXED across frames with i.i.d. per-frame keypoint jitter — support
+    frames carry NO information about the keyframe pose, so a trained
+    aligner learns ~zero offsets and box motion is stationary jitter (the
+    degenerate case for box-motion policies). ``"drift"`` gives each person
+    a RIGID pose (skeleton offsets drawn once) translating at a constant
+    per-person velocity (~8 px/frame): support frames show the keyframe
+    pose displaced by k*velocity, so temporal alignment is well-posed —
+    the realistic scenario both the streaming re-prime trigger and the
+    DCN offset window exist for.
+
+    ``occlude``: probability (per person, per frame) that the joint markers
+    are NOT drawn (needs ``draw_joints``). Occluded keyframes force the
+    model to recover the pose from neighboring frames — this is what makes
+    a trained aligner produce genuinely LARGE offsets (FAMI-Pose's raison
+    d'etre, reference Alignment_V15); without it the keyframe alone
+    suffices and offsets collapse to ~0 (measured in
+    docs/DCN_OFFSET_BOUND.md). Annotations always keep the true keypoints.
     """
     rng = np.random.RandomState(seed)
     img_dir = osp.join(root, "images")
@@ -43,16 +63,49 @@ def make_posetrack_fixture(
         vid_name = f"video_{v:04d}"
         vdir = osp.join(img_dir, vid_name)
         os.makedirs(vdir, exist_ok=True)
-        centers = rng.uniform([30, 30], [IMG_W - 30, IMG_H - 30],
-                              size=(people_per_frame, 2))
+        centers0 = rng.uniform([30, 30], [IMG_W - 30, IMG_H - 30],
+                               size=(people_per_frame, 2))
+        if motion == "drift":
+            # drawn AFTER centers so motion=None's stream is untouched
+            ang = rng.uniform(0, 2 * np.pi, size=people_per_frame)
+            speed = rng.uniform(6.0, 10.0, size=people_per_frame)
+            vel = np.stack([np.cos(ang), np.sin(ang)], -1) * speed[:, None]
+            rigid_offs = rng.uniform(
+                -18, 18, size=(people_per_frame, 17, 2)
+            ).astype(np.float32)
+            # ONE background per video: a per-frame noise background would
+            # identify the frame and let an overfit model memorize occluded
+            # keyframes' poses instead of aligning from support frames
+            video_bg = rng.randint(0, 255, (IMG_H, IMG_W, 3), np.uint8)
+        elif motion is not None:
+            raise ValueError(f"unknown motion model {motion!r}")
         for f in range(n_frames):
+            if motion == "drift":
+                centers = np.clip(
+                    centers0 + f * vel, [24, 24], [IMG_W - 24, IMG_H - 24]
+                )
+            else:
+                centers = centers0
             frame_idx = start + f
             fname = f"{str(frame_idx).zfill(zero_fill)}.jpg"
-            img = rng.randint(0, 255, (IMG_H, IMG_W, 3), np.uint8)
-            frame_pts = [_person(rng, *centers[p])
-                         for p in range(people_per_frame)]
+            img = (
+                video_bg.copy() if motion == "drift"
+                else rng.randint(0, 255, (IMG_H, IMG_W, 3), np.uint8)
+            )
+            if motion == "drift":
+                frame_pts = []
+                for p in range(people_per_frame):
+                    pts = centers[p].astype(np.float32) + rigid_offs[p]
+                    pts[:, 0] = np.clip(pts[:, 0], 2, IMG_W - 3)
+                    pts[:, 1] = np.clip(pts[:, 1], 2, IMG_H - 3)
+                    frame_pts.append(pts)
+            else:
+                frame_pts = [_person(rng, *centers[p])
+                             for p in range(people_per_frame)]
             if draw_joints:
                 for pts in frame_pts:
+                    if occlude > 0.0 and rng.rand() < occlude:
+                        continue  # markers hidden this frame (GT unchanged)
                     for j, (x, y) in enumerate(pts):
                         color = (
                             int(40 + 12 * j), int(255 - 12 * j),

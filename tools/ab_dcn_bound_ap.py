@@ -49,6 +49,12 @@ def main():
                         "(seed 3, joint markers) so the offset distribution "
                         "and AP deltas reflect trained weights (VERDICT r3 "
                         "#1b). Implies --w48.")
+    p.add_argument("--motion", default=None, choices=[None, "drift"],
+                   help="--ckpt fixture motion model; must match the "
+                        "checkpoint's (tools/sustained_train_w48.py flag)")
+    p.add_argument("--occlude", type=float, default=0.0,
+                   help="--ckpt fixture marker-occlusion rate; must match "
+                        "the checkpoint's")
     args = p.parse_args()
     if args.ckpt:
         args.w48 = True
@@ -64,7 +70,7 @@ def main():
         # bitwise-identical fixture to the sustained-training run
         _, img_dir = make_posetrack_fixture(
             root, n_videos=2, n_frames=5, people_per_frame=2, seed=3,
-            draw_joints=True,
+            draw_joints=True, motion=args.motion, occlude=args.occlude,
         )
     else:
         _, img_dir = make_posetrack_fixture(
@@ -91,6 +97,9 @@ def main():
     variables = None
     results = {}
     offset_stats = None
+    drift = {}  # d -> (heatmap mean|delta|, px drift p50/p95/max vs exact)
+    probe_batch = None
+    exact_hm = exact_px = None
     for d in [0] + list(args.bounds):
         c = cfg.clone()
         c.TPU.DCN_MAX_OFFSET = d
@@ -140,6 +149,37 @@ def main():
                 "frac>|4|": (allo > 4).mean(),
                 "frac>|6|": (allo > 6).mean(),
             }
+            probe_batch = (kf, sup, np.asarray(raw["center"]),
+                           np.asarray(raw["scale"]))
+
+        # continuous drift vs the exact path on one fixture batch: the
+        # saturated fixture AP (100.0 across the board on overfit weights)
+        # cannot discriminate small windows, px drift can
+        from fami_pose_tpu.ops.heatmap import dark_get_final_preds
+
+        kf_p, sup_p, ctr_p, scl_p = probe_batch
+        hm_d, _ = jax.jit(
+            lambda v, a, b: ev.model.apply(v, a, b, train=False)
+        )(variables, kf_p, sup_p)
+        hm_d = np.asarray(hm_d, np.float32)
+        px_d, _ = dark_get_final_preds(
+            jnp.transpose(jnp.asarray(hm_d), (0, 3, 1, 2)), ctr_p, scl_p
+        )
+        px_d = np.asarray(px_d)
+        if d == 0:
+            exact_hm, exact_px = hm_d, px_d
+        dd = np.linalg.norm(px_d - exact_px, axis=-1).ravel()
+        drift[d] = {
+            "hm_mean_abs_delta": float(np.abs(hm_d - exact_hm).mean()),
+            "hm_rel": float(
+                np.abs(hm_d - exact_hm).mean()
+                / max(np.abs(exact_hm).mean(), 1e-12)
+            ),
+            "px_p50": float(np.percentile(dd, 50)),
+            "px_p95": float(np.percentile(dd, 95)),
+            "px_max": float(dd.max()),
+        }
+
         res = ev.eval_checkpoint(dict(variables))
         results[d] = res["final"][0]  # per-joint AP OrderedDict
         print(f"d_max={d}: " + ", ".join(
@@ -155,6 +195,14 @@ def main():
     for d in args.bounds:
         deltas = [results[d][j] - results[0][j] for j in joints]
         print(f"d={d:<4d} " + " ".join(f"{x:9.3f}" for x in deltas))
+
+    print("\n== continuous drift vs exact (one fixture batch; decoded px "
+          "in original image coords) ==")
+    print("bound  hm_mean|d|   hm_rel   px_p50   px_p95   px_max")
+    for d in [0] + list(args.bounds):
+        r = drift[d]
+        print(f"d={d:<4d} {r['hm_mean_abs_delta']:11.2e} {r['hm_rel']:8.2e}"
+              f" {r['px_p50']:8.4f} {r['px_p95']:8.4f} {r['px_max']:8.4f}")
 
 
 if __name__ == "__main__":

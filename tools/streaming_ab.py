@@ -79,6 +79,19 @@ def main():
              "re-prime (StreamingPosePredictor.maybe_reprime) at each IoU "
              "threshold; reports AP + re-prime rate per threshold",
     )
+    p.add_argument(
+        "--motion", default=None, choices=[None, "drift"],
+        help="fixture motion model — must match the one the checkpoint was "
+             "trained on (tools/sustained_train_w48.py --motion). None: "
+             "stationary centers + i.i.d. keypoint jitter (re-priming to a "
+             "recent box cannot beat the first box statistically); drift: "
+             "constant per-person velocity, the scenario the re-prime "
+             "trigger exists for",
+    )
+    p.add_argument(
+        "--occlude", type=float, default=0.0,
+        help="fixture marker-occlusion rate; must match the checkpoint's",
+    )
     args = p.parse_args()
 
     from fixtures import make_posetrack_fixture
@@ -96,7 +109,7 @@ def main():
     # identical fixture to the sustained W48 run (seed 3, markers drawn)
     _, img_dir = make_posetrack_fixture(
         root, n_videos=2, n_frames=5, people_per_frame=2, seed=3,
-        draw_joints=True,
+        draw_joints=True, motion=args.motion, occlude=args.occlude,
     )
     cfg = build_cfg(root, img_dir)
     from test_end_to_end import _write_gt_annolists
@@ -292,10 +305,14 @@ def main():
             ).astype(np.float32)
             mask = pred.boxes_moved(new_c, new_s)
             if mask.any():
-                # history: the last W frames re-cropped under the NEW boxes
+                # history: the frames ALREADY FED (steps t-W .. t-1, what
+                # the buffer holds before this step; steps < 0 clamp to the
+                # prime frame, matching init_state's fill) re-cropped under
+                # the NEW boxes. Including step t here would double-feed the
+                # current frame and shift every later emission by one.
                 hist_fids = [
-                    frame_ids[max(min(t, len(frame_ids) - 1) - d, 0)]
-                    for d in range(w_buf - 1, -1, -1)
+                    frame_ids[min(max(t - d, 0), len(frame_ids) - 1)]
+                    for d in range(w_buf, 0, -1)
                 ]
                 hist = np.stack(
                     [

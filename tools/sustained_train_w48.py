@@ -37,6 +37,16 @@ def main():
     p.add_argument("--epochs", type=int, default=150)
     p.add_argument("--image-size", type=int, nargs=2, default=[96, 128],
                    help="(w, h) crop size; divisible by 32")
+    p.add_argument("--motion", default=None, choices=[None, "drift"],
+                   help="fixture motion model; 'drift' gives each person a "
+                        "rigid pose translating at ~8 px/frame (the "
+                        "checkpoint for tools/streaming_ab.py "
+                        "--motion drift)")
+    p.add_argument("--occlude", type=float, default=0.0,
+                   help="per-(person,frame) probability of hiding the joint "
+                        "markers: occluded keyframes make temporal "
+                        "alignment load-bearing, so the trained DCN offsets "
+                        "become non-trivial (docs/DCN_OFFSET_BOUND.md)")
     args = p.parse_args()
 
     from fixtures import make_cfg, make_posetrack_fixture
@@ -47,7 +57,7 @@ def main():
     root = tempfile.mkdtemp(prefix="w48_sustain_")
     _, img_dir = make_posetrack_fixture(
         root, n_videos=2, n_frames=5, people_per_frame=2, seed=3,
-        draw_joints=True,
+        draw_joints=True, motion=args.motion, occlude=args.occlude,
     )
     cfg = make_cfg(osp.join(root, "json"), img_dir)
     cfg.MODEL.NAME = "FAMIPose"
