@@ -569,6 +569,108 @@ def _dcn_kernel_v3(
     o_ref[0] = acc.astype(o_ref.dtype)
 
 
+def _dcn_kernel_v10(
+    x_ref, off_ref, msk_ref, w_ref, o_ref, *, kh, kw, dil, pad,
+    d_max, groups, cg, tr, c_in, c_out, margin,
+):
+    """Row-stacked wide-gather kernel: the whole y window in ONE gather.
+
+    v3's wall is instruction issue: per (row, dy, tap) it gathers/blends on
+    narrow (C, 128) operands — ``tr * kh * (2D+1) * kw`` small instructions
+    per block. The fix v6 attempted (stack the dy rows on sublanes so one
+    instruction does the whole window) died because reshaping v3's
+    lane-major staging (C, s_win*128) -> (s_win*C, 128) is a Mosaic
+    relayout. v10 changes the STAGING instead: x is staged row-major,
+    ``(N, hp*C, 128)`` with each padded image row a contiguous C-sublane
+    block, so the window's rows ``(s_win*C, 128)`` are ONE aligned dynamic
+    slice — a free view, like v7's batch-pair stacking (pair dim outer).
+    Per (tap-row a, image row r, tap-col b) the kernel then issues:
+
+      * TWO wide lane-gathers (g0/g1 bilinear corners) on (s_win*C, 128)
+        with per-sublane indices (the 2-D gather form v7 proved Mosaic
+        supports),
+      * one wide x-blend, one wide hat-weight multiply on the 4-D view
+        (s_win, Cg, G, 128) x (s_win, 1, G, 128),
+      * a log-tree reduction over the s_win axis.
+
+    ~an order of magnitude fewer VPU instructions than v3 at D=4 for the
+    same arithmetic. Numerics: identical sampling math to v3 (clamped
+    offsets, corner clip, hat weights); only the dy-accumulation order
+    changes (tree vs sequential) => f32 re-association within test
+    tolerance. Shootout + auto-select rule in docs/PERFORMANCE.md.
+    """
+    s_win = 2 * d_max + 1
+    row0 = pl.program_id(1) * tr
+    trwp = tr * LANE
+    swc = s_win * c_in
+
+    acc = jnp.zeros((c_out, trwp), jnp.float32)
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (swc, LANE), 1)
+    # dy per sublane-block of the stacked window (int iota: Mosaic's
+    # tpu.iota is integer-only), as an f32 constant
+    dy_stack = (
+        jax.lax.broadcasted_iota(jnp.int32, (s_win, 1, 1, 1), 0) - d_max
+    ).astype(jnp.float32)
+
+    for a in range(kh):
+        row_pieces = [[None] * tr for _ in range(kw)]
+        for r in range(tr):
+            # first stacked sublane of the rows this (a, r) samples
+            row_base = row0 + r + margin + a * dil - pad - d_max
+            xs = x_ref[0, pl.ds(row_base * c_in, swc), :]  # (s_win*C, 128)
+            for b in range(kw):
+                t = a * kw + b
+                tx = off_ref[
+                    0, (t * 2 + 1) * groups : (t * 2 + 2) * groups,
+                    r * LANE : (r + 1) * LANE,
+                ].astype(jnp.float32)
+                tx = jnp.clip(tx, -d_max, d_max)
+                x0 = jnp.floor(tx)
+                fx = (tx - x0).astype(jnp.float32)  # (G, LANE)
+                idx_g = jnp.clip(
+                    jax.lax.broadcasted_iota(jnp.int32, (groups, LANE), 1)
+                    + (b * dil - pad) + x0.astype(jnp.int32),
+                    0, LANE - 1,
+                )
+                idx = jnp.broadcast_to(
+                    idx_g[None, None], (s_win, cg, groups, LANE)
+                ).reshape(swc, LANE)
+                fxw = jnp.broadcast_to(
+                    fx[None, None], (s_win, cg, groups, LANE)
+                ).reshape(swc, LANE)
+                g0 = jnp.take_along_axis(xs, idx, axis=1)
+                g1 = jnp.take_along_axis(
+                    xs, jnp.minimum(idx + 1, LANE - 1), axis=1
+                )
+                samp = g0 * (1.0 - fxw) + g1 * fxw  # (s_win*C, LANE)
+
+                ty = off_ref[
+                    0, (t * 2 + 0) * groups : (t * 2 + 1) * groups,
+                    r * LANE : (r + 1) * LANE,
+                ].astype(jnp.float32)
+                m = msk_ref[
+                    0, t * groups : (t + 1) * groups,
+                    r * LANE : (r + 1) * LANE,
+                ].astype(jnp.float32)
+                ty = jnp.clip(ty, -d_max, d_max)
+                # hat(ty - dy) * mask for ALL dy at once: (s_win, 1, G, L)
+                wym = jnp.maximum(
+                    0.0, 1.0 - jnp.abs(ty[None, None] - dy_stack)
+                ) * m[None, None]
+                col4 = samp.reshape(s_win, cg, groups, LANE) * wym
+                row_pieces[b][r] = jnp.sum(col4, axis=0).reshape(c_in, LANE)
+
+        for b in range(kw):
+            t = a * kw + b
+            col = jnp.concatenate(row_pieces[b], axis=1)  # (C, TRWP)
+            acc = acc + jax.lax.dot_general(
+                w_ref[t].astype(jnp.float32), col,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+    o_ref[0] = acc.astype(o_ref.dtype)
+
+
 def _dcn_kernel_v9(
     x_ref, off_ref, msk_ref, w_ref, o_ref, *, kh, kw, dil, pad,
     d_max, groups, cg, tr, c_in, c_out, margin,
@@ -834,7 +936,13 @@ def deform_conv2d_pallas(
         x[..., perm].astype(jnp.float32),
         ((0, 0), (margin, margin + 1), (margin, pad_right), (0, 0)),
     )
-    x_flat = x_pad.transpose(0, 3, 1, 2).reshape(n, c, hp * LANE)
+    if int(kernel_version) == 10:
+        # row-major staging: each padded image row is a contiguous block of
+        # C sublanes, so the kernel's y window (s_win*C, 128) is one free
+        # aligned dynamic slice (see _dcn_kernel_v10)
+        x_flat = x_pad.transpose(0, 1, 3, 2).reshape(n, hp * c, LANE)
+    else:
+        x_flat = x_pad.transpose(0, 3, 1, 2).reshape(n, c, hp * LANE)
 
     if aux_channel_first:
         # offsets/mask arrive (N, 2GK, H, W) / (N, GK, H, W) already in the
@@ -871,6 +979,7 @@ def deform_conv2d_pallas(
     kfn = {
         2: _dcn_kernel, 3: _dcn_kernel_v3, 4: _dcn_kernel_v4,
         5: _dcn_kernel_v5, 7: _dcn_kernel_v7, 9: _dcn_kernel_v9,
+        10: _dcn_kernel_v10,
     }[int(kernel_version)]
     scratch = (
         [pltpu.VMEM((k * c, tr * LANE), jnp.float32)]
@@ -935,14 +1044,22 @@ def deform_conv2d_pallas(
             if int(kernel_version) == 9
             else {}
         )
+        x_spec = (
+            pl.BlockSpec(
+                (1, hp * c, LANE), lambda b, i: (b, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+            if int(kernel_version) == 10
+            else pl.BlockSpec(
+                (1, c, hp * LANE), lambda b, i: (b, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
         out_flat = pl.pallas_call(
             kernel,
             grid=(n, n_row_blocks),
             in_specs=[
-                pl.BlockSpec(
-                    (1, c, hp * LANE), lambda b, i: (b, 0, 0),
-                    memory_space=pltpu.VMEM,
-                ),
+                x_spec,
                 pl.BlockSpec(
                     (1, 2 * g * k, tr * LANE), lambda b, i: (b, 0, i),
                     memory_space=pltpu.VMEM,

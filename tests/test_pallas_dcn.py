@@ -24,7 +24,7 @@ def _inputs(rng, n=2, h=32, w=24, c=8, g=2, d=2, c_out=6):
 
 
 @pytest.mark.parametrize("dilation", [1, 3])
-@pytest.mark.parametrize("kernel_version", [2, 3, 4, 5, 6, 7, 9])
+@pytest.mark.parametrize("kernel_version", [2, 3, 4, 5, 6, 7, 9, 10])
 def test_pallas_matches_windowed(rng, dilation, kernel_version):
     x, off, msk, wgt, bias = _inputs(rng)
     ref = deform_conv2d_windowed(
@@ -167,3 +167,16 @@ def test_aux_channel_first_gradients(rng):
     g = jax.grad(loss_cf)(off)
     g_ref = jax.grad(loss_ref)(off)
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), rtol=1e-3, atol=1e-4)
+
+
+def test_v10_bitwise_matches_v3_at_d4(rng):
+    """v10 (row-stacked wide-gather staging) is the same sampling math as
+    v3 — identical clamps, corner clips and hat weights; only the staging
+    layout and instruction shapes differ. At the D=4 parity window they
+    must agree (bitwise in f32 interpret on the data tried here)."""
+    x, off, msk, wgt, bias = _inputs(rng, n=2, h=32, w=24)
+    kw = dict(padding=3, dilation=3, offset_groups=2, max_offset=4,
+              row_block=8)
+    a = deform_conv2d_pallas(x, off, msk, wgt, bias, kernel_version=10, **kw)
+    b = deform_conv2d_pallas(x, off, msk, wgt, bias, kernel_version=3, **kw)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
