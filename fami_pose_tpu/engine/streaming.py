@@ -416,7 +416,17 @@ class StreamingPosePredictor:
         inputs up to and including the PREVIOUS step's — re-cropped under
         the new boxes. Including the frame about to be fed would insert it
         twice and shift every later emission by one frame (the off-by-one
-        measured at -8 AP on the jitter fixture, tools/streaming_ab.py)."""
+        measured at -8 AP on the jitter fixture, tools/streaming_ab.py).
+
+        ``centers``/``scales`` should be the tracker box at the EMISSION
+        HORIZON — the keyframe about to be emitted (the frame fed
+        ``distance - 1`` steps ago) — not the newest frame's box. The
+        batch protocol crops every window frame under the KEYFRAME's box;
+        re-priming under the newest box pins each emission ``distance-1``
+        frames behind its crop, a systematic offset that GROWS with the
+        re-prime rate (measured on the drift fixture: -61 AP at rate 0.7
+        vs -29 at rate 0.2 before the convention was fixed —
+        docs/STREAMING_AB.md)."""
         mask = self.boxes_moved(centers, scales)
         if mask.any():
             new = init_state_from_history(

@@ -936,10 +936,15 @@ def deform_conv2d_pallas(
         x[..., perm].astype(jnp.float32),
         ((0, 0), (margin, margin + 1), (margin, pad_right), (0, 0)),
     )
-    if int(kernel_version) == 10:
+    if int(kernel_version) in (10, 11):
         # row-major staging: each padded image row is a contiguous block of
         # C sublanes, so the kernel's y window (s_win*C, 128) is one free
-        # aligned dynamic slice (see _dcn_kernel_v10)
+        # aligned dynamic slice (see _dcn_kernel_v10). v11 = v10 with the
+        # INPUT dtype kept (bf16 staging halves x bandwidth/VMEM; the
+        # f32-stage workaround above was for the roll/slice mix of the
+        # lane-major kernels — v10/v11 only gather, never roll)
+        if int(kernel_version) == 11:
+            x_pad = x_pad.astype(x.dtype)
         x_flat = x_pad.transpose(0, 1, 3, 2).reshape(n, hp * c, LANE)
     else:
         x_flat = x_pad.transpose(0, 3, 1, 2).reshape(n, c, hp * LANE)
@@ -979,7 +984,7 @@ def deform_conv2d_pallas(
     kfn = {
         2: _dcn_kernel, 3: _dcn_kernel_v3, 4: _dcn_kernel_v4,
         5: _dcn_kernel_v5, 7: _dcn_kernel_v7, 9: _dcn_kernel_v9,
-        10: _dcn_kernel_v10,
+        10: _dcn_kernel_v10, 11: _dcn_kernel_v10,  # v11 = bf16-staged v10
     }[int(kernel_version)]
     scratch = (
         [pltpu.VMEM((k * c, tr * LANE), jnp.float32)]
@@ -1049,7 +1054,7 @@ def deform_conv2d_pallas(
                 (1, hp * c, LANE), lambda b, i: (b, 0, 0),
                 memory_space=pltpu.VMEM,
             )
-            if int(kernel_version) == 10
+            if int(kernel_version) in (10, 11)
             else pl.BlockSpec(
                 (1, c, hp * LANE), lambda b, i: (b, 0, 0),
                 memory_space=pltpu.VMEM,

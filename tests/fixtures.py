@@ -51,6 +51,14 @@ def make_posetrack_fixture(
     d'etre, reference Alignment_V15); without it the keyframe alone
     suffices and offsets collapse to ~0 (measured in
     docs/DCN_OFFSET_BOUND.md). Annotations always keep the true keypoints.
+
+    ``"articulated"``: like drift, but each JOINT additionally moves with
+    its own constant velocity (±6 px/frame) — NON-RIGID motion the global
+    translation warp cannot absorb, so recovering occluded keyframes
+    requires per-location DEFORMABLE offsets (~±1.5 feature px per frame
+    of temporal distance at stride 4). Measured necessity: with rigid
+    drift the global-alignment stage absorbs all motion and the trained
+    DCN offsets stay ~0 (docs/DCN_OFFSET_BOUND.md r4).
     """
     rng = np.random.RandomState(seed)
     img_dir = osp.join(root, "images")
@@ -65,7 +73,7 @@ def make_posetrack_fixture(
         os.makedirs(vdir, exist_ok=True)
         centers0 = rng.uniform([30, 30], [IMG_W - 30, IMG_H - 30],
                                size=(people_per_frame, 2))
-        if motion == "drift":
+        if motion in ("drift", "articulated"):
             # drawn AFTER centers so motion=None's stream is untouched
             ang = rng.uniform(0, 2 * np.pi, size=people_per_frame)
             speed = rng.uniform(6.0, 10.0, size=people_per_frame)
@@ -73,14 +81,21 @@ def make_posetrack_fixture(
             rigid_offs = rng.uniform(
                 -18, 18, size=(people_per_frame, 17, 2)
             ).astype(np.float32)
+            joint_vel = (
+                rng.uniform(-6.0, 6.0, size=(people_per_frame, 17, 2))
+                .astype(np.float32)
+                if motion == "articulated"
+                else np.zeros((people_per_frame, 17, 2), np.float32)
+            )
             # ONE background per video: a per-frame noise background would
             # identify the frame and let an overfit model memorize occluded
             # keyframes' poses instead of aligning from support frames
             video_bg = rng.randint(0, 255, (IMG_H, IMG_W, 3), np.uint8)
         elif motion is not None:
             raise ValueError(f"unknown motion model {motion!r}")
+        moving = motion in ("drift", "articulated")
         for f in range(n_frames):
-            if motion == "drift":
+            if moving:
                 centers = np.clip(
                     centers0 + f * vel, [24, 24], [IMG_W - 24, IMG_H - 24]
                 )
@@ -89,13 +104,16 @@ def make_posetrack_fixture(
             frame_idx = start + f
             fname = f"{str(frame_idx).zfill(zero_fill)}.jpg"
             img = (
-                video_bg.copy() if motion == "drift"
+                video_bg.copy() if moving
                 else rng.randint(0, 255, (IMG_H, IMG_W, 3), np.uint8)
             )
-            if motion == "drift":
+            if moving:
                 frame_pts = []
                 for p in range(people_per_frame):
-                    pts = centers[p].astype(np.float32) + rigid_offs[p]
+                    pts = (
+                        centers[p].astype(np.float32) + rigid_offs[p]
+                        + f * joint_vel[p]
+                    )
                     pts[:, 0] = np.clip(pts[:, 0], 2, IMG_W - 3)
                     pts[:, 1] = np.clip(pts[:, 1], 2, IMG_H - 3)
                     frame_pts.append(pts)

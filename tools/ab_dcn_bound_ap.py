@@ -49,7 +49,7 @@ def main():
                         "(seed 3, joint markers) so the offset distribution "
                         "and AP deltas reflect trained weights (VERDICT r3 "
                         "#1b). Implies --w48.")
-    p.add_argument("--motion", default=None, choices=[None, "drift"],
+    p.add_argument("--motion", default=None, choices=[None, "drift", "articulated"],
                    help="--ckpt fixture motion model; must match the "
                         "checkpoint's (tools/sustained_train_w48.py flag)")
     p.add_argument("--occlude", type=float, default=0.0,

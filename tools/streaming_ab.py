@@ -80,7 +80,7 @@ def main():
              "threshold; reports AP + re-prime rate per threshold",
     )
     p.add_argument(
-        "--motion", default=None, choices=[None, "drift"],
+        "--motion", default=None, choices=[None, "drift", "articulated"],
         help="fixture motion model — must match the one the checkpoint was "
              "trained on (tools/sustained_train_w48.py --motion). None: "
              "stationary centers + i.i.d. keypoint jitter (re-priming to a "
@@ -296,7 +296,15 @@ def main():
         n_reprimed = 0
         for t in range(total_steps):
             fid = frame_ids[min(t, len(frame_ids) - 1)]
-            boxes = [gt_box(key, fid) for key in keys]
+            # trigger + re-crop under the box AT THE EMISSION HORIZON (the
+            # keyframe about to be emitted, t - lat), not the newest frame:
+            # the batch protocol crops every window frame under the
+            # KEYFRAME's box, so b_{t-lat} is the crop that reproduces it —
+            # re-crop under b_t would pin every emission 2 frames behind
+            # its crop (a -lat*velocity systematic offset, measured -23 AP
+            # at re-prime rate 0.7 before this fix)
+            kf_fid = frame_ids[min(max(t - lat, 0), len(frame_ids) - 1)]
+            boxes = [gt_box(key, kf_fid) for key in keys]
             new_c = np.stack(
                 [b[0] if b else cur_c[k] for k, b in enumerate(boxes)]
             ).astype(np.float32)

@@ -37,7 +37,7 @@ def main():
     p.add_argument("--epochs", type=int, default=150)
     p.add_argument("--image-size", type=int, nargs=2, default=[96, 128],
                    help="(w, h) crop size; divisible by 32")
-    p.add_argument("--motion", default=None, choices=[None, "drift"],
+    p.add_argument("--motion", default=None, choices=[None, "drift", "articulated"],
                    help="fixture motion model; 'drift' gives each person a "
                         "rigid pose translating at ~8 px/frame (the "
                         "checkpoint for tools/streaming_ab.py "
