@@ -65,7 +65,7 @@ def main():
         msk = jnp.asarray(rng.rand(n, h, w, g * k), jnp.bfloat16)
         ref = None
         for kv in args.versions:
-            trs = args.trs if kv in (9, 10) else [16]
+            trs = args.trs if kv in (9, 10, 11) else [16]
             for tr in trs:
                 if h % tr:
                     continue
