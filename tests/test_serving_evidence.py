@@ -66,3 +66,14 @@ def test_streaming_headline_records_box_motion_cost():
     )
     serving = _read("SERVING.md")
     assert "STREAMING_AB.md" in serving and "maybe_reprime" in serving
+
+
+def test_reprime_default_guidance_has_recorded_curve():
+    """The serving guide recommends reprime_iou=0.9; the measured
+    AP-vs-re-prime-rate curve licensing that number must be on record."""
+    doc = _read("STREAMING_AB.md")
+    assert re.search(r"IoU 0\.9.*\*\*\+0\.00\*\*", doc), (
+        "drift-fixture parity row missing — re-run tools/streaming_ab.py "
+        "--motion drift --occlude 0.4 before recommending a threshold"
+    )
+    assert "EMISSION HORIZON" in doc  # the box convention ships with it
