@@ -151,6 +151,12 @@ def main():
             }
             probe_batch = (kf, sup, np.asarray(raw["center"]),
                            np.asarray(raw["scale"]))
+            # print immediately: a crash in a later eval must not lose the
+            # trained-offset distribution (the round-3 A/B died this way)
+            print("== model offset-conv |offset| distribution "
+                  "(fixture batch) ==", flush=True)
+            print(" ".join(f"{k}={v:.3f}" for k, v in offset_stats.items()),
+                  flush=True)
 
         # continuous drift vs the exact path on one fixture batch: the
         # saturated fixture AP (100.0 across the board on overfit weights)
@@ -179,6 +185,8 @@ def main():
             "px_p95": float(np.percentile(dd, 95)),
             "px_max": float(dd.max()),
         }
+        print(f"d_max={d} drift vs exact: " + " ".join(
+            f"{k}={v:.4g}" for k, v in drift[d].items()), flush=True)
 
         res = ev.eval_checkpoint(dict(variables))
         results[d] = res["final"][0]  # per-joint AP OrderedDict
