@@ -69,6 +69,19 @@ def get_default_cfg() -> CfgNode:
             # bounded-offset window for the gather-free deformable conv;
             # None/0 selects the exact (slow) gather path
             "DCN_MAX_OFFSET": 6,
+            # calibrate the window to the CHECKPOINT at evaluator setup:
+            # measure the offset-conv outputs on the first
+            # INT8_CALIB_BATCHES eval batches and pick the smallest D whose
+            # exceeded fraction is <= DCN_AUTO_WINDOW_EPS. A window below
+            # the trained distribution has a real measured AP cost (−0.65
+            # mean at D=1/2 on the articulated checkpoint) while clamping a
+            # <=0.1% outlier tail measured AP-exact (D=4 there) —
+            # docs/DCN_OFFSET_BOUND.md. EPS=0 selects a strict cover
+            # (exact by construction); distributions hotter than
+            # DCN_AUTO_WINDOW_MAX fall back to the exact gather.
+            "DCN_AUTO_WINDOW": False,
+            "DCN_AUTO_WINDOW_EPS": 1e-3,
+            "DCN_AUTO_WINDOW_MAX": 8,
             "DCN_OFFSET_GROUPS": 12,
             "PROFILE_DIR": "",
             "PROFILE_STEPS": 10,

@@ -63,11 +63,13 @@ class Evaluator:
         from fami_pose_tpu.engine.core_functions import build_core_function
 
         self.core_function = build_core_function(cfg)
+        self._flip_test = flip_test
+        self._flip_pairs = getattr(dataset, "flip_pairs", None)
         # mesh-sharded eval: the loader's batch is per-chip x data-axis size,
         # so every eval forward spreads over all chips (VERDICT r1 weak #5)
         self.eval_step = self.core_function.build_eval_step(
             self.model, mesh=self.mesh, flip_test=flip_test,
-            flip_pairs=getattr(dataset, "flip_pairs", None),
+            flip_pairs=self._flip_pairs,
         )
 
         h, w = int(cfg.MODEL.IMAGE_SIZE[1]), int(cfg.MODEL.IMAGE_SIZE[0])
@@ -119,6 +121,66 @@ class Evaluator:
             )
         return prepare_eval_inputs(raw["kf"], raw["sup"])
 
+    def _maybe_auto_window(self, variables: dict) -> None:
+        """TPU.DCN_AUTO_WINDOW: calibrate the DCN window to THIS checkpoint.
+
+        The windowed DCN kernel computes the exact reference semantics
+        (torchvision ``DeformConv2d``, ``Alignment_V15.py:83-101``) for
+        every offset the window covers — and a window below the trained
+        offset distribution has a real, measured AP cost (−0.65 mean at
+        D=1/2 on the articulated-fixture checkpoint), while a window that
+        clamps only a <=0.1% outlier tail measured AP-exact (D=4 there,
+        including an 8.9 px outlier; docs/DCN_OFFSET_BOUND.md). So the
+        window is a per-checkpoint quantity, not a static default: measure
+        the offset-conv outputs on the first ``TPU.INT8_CALIB_BATCHES``
+        eval batches and pick the smallest integer D whose exceeded
+        fraction is <= ``TPU.DCN_AUTO_WINDOW_EPS`` (0 = strict cover,
+        exactness by construction). Falls back to the exact gather path for
+        distributions hotter than ``TPU.DCN_AUTO_WINDOW_MAX``.
+        """
+        if not bool(getattr(self.cfg.TPU, "DCN_AUTO_WINDOW", False)):
+            return
+        n_batches = max(1, int(getattr(self.cfg.TPU, "INT8_CALIB_BATCHES", 2)))
+        base = {k: v for k, v in variables.items() if k != "quant"}
+        offs = []
+        seen = 0
+        for raw in self.loader:
+            kf, sup = self._prepare(raw)
+            _, inter = self.model.apply(
+                base, kf, sup, train=False,
+                capture_intermediates=lambda mdl, name: bool(
+                    mdl.name and "dcn_offset" in mdl.name
+                ),
+            )
+            for leaf in jax.tree.leaves(inter["intermediates"]):
+                offs.append(
+                    np.abs(np.asarray(leaf, np.float32).ravel())
+                )
+            seen += 1
+            if seen >= n_batches:
+                break
+        allo = np.concatenate(offs) if offs else np.zeros(1, np.float32)
+        cap = int(getattr(self.cfg.TPU, "DCN_AUTO_WINDOW_MAX", 8))
+        eps = float(getattr(self.cfg.TPU, "DCN_AUTO_WINDOW_EPS", 1e-3))
+        d = None  # exact unbounded gather (slow, always correct)
+        for cand in range(1, cap + 1):
+            if (allo > cand).mean() <= eps:
+                d = cand
+                break
+        self.logger.info(
+            f"DCN auto-window: |offset| max={allo.max():.3f} "
+            f"p99={np.percentile(allo, 99):.3f} px over {seen} calibration "
+            f"batches -> window D = {d if d else 'exact'} "
+            f"(eps={eps:g}, cap={cap})"
+        )
+        if d == getattr(self.model, "dcn_max_offset", None):
+            return
+        self.model = self.model.clone(dcn_max_offset=d)
+        self.eval_step = self.core_function.build_eval_step(
+            self.model, mesh=self.mesh, flip_test=self._flip_test,
+            flip_pairs=self._flip_pairs,
+        )
+
     def _maybe_calibrate_int8(self, variables: dict) -> dict:
         """TPU.INT8_EVAL: PTQ-calibrate activation scales on the first
         ``TPU.INT8_CALIB_BATCHES`` eval batches (models/quant.py), then eval
@@ -158,6 +220,7 @@ class Evaluator:
     def eval_checkpoint(self, variables: dict):
         """Run the full eval loop; returns (name_value_final, name_value_bb)."""
         cfg = self.cfg
+        self._maybe_auto_window(variables)
         variables = self._maybe_calibrate_int8(variables)
         n = len(self.dataset)
         num_joints = int(cfg.MODEL.NUM_JOINTS)

@@ -21,8 +21,11 @@ def _read(name):
 
 
 def test_d1_serving_default_has_recorded_trained_evidence():
-    """bench.py defaults the int8 serving model to D=1; the trained-weights
-    A/B table licensing it must be on record with a zero delta at d=1."""
+    """bench.py's throughput mode uses a D=1 window; the trained-weights
+    evidence for what that window does and does not cost must be on record:
+    zero delta on the collapsed-offset checkpoints AND the measured AP cost
+    on the articulated (alignment-load-bearing) checkpoint, together with
+    the D=4 exactness that licenses the auto-window serving policy."""
     with open(osp.join(HERE, "..", "bench.py")) as f:
         bench = f.read()
     m = re.search(
@@ -30,19 +33,44 @@ def test_d1_serving_default_has_recorded_trained_evidence():
         bench,
     )
     assert m, "bench.py serving window default not found"
-    d_default = int(m.group(1))
+    assert int(m.group(1)) == 1
+    # the D=1 throughput mode must ship next to the guaranteed-exact-window
+    # serving rate, not alone
+    assert "streaming_int8_d4_clips_per_sec" in bench
 
     doc = _read("DCN_OFFSET_BOUND.md")
     assert "TRAINED weights" in doc, "trained-weights rerun section missing"
-    # the recorded claim: zero per-joint AP delta at every bound incl. D=1
+    # collapsed-offset checkpoints: zero per-joint AP delta at every bound
     assert re.search(
         r"Per-joint AP delta vs exact: 0\.000 at every bound D in "
         r"\{1, 2, 4, 6\}",
         doc,
-    ), "recorded zero-delta claim for D=1 missing — re-run " \
-       "tools/ab_dcn_bound_ap.py --ckpt and update the doc before " \
-       "shipping a D=1 default"
-    assert d_default == 1
+    ), "recorded zero-delta claim missing — re-run " \
+       "tools/ab_dcn_bound_ap.py --ckpt and update the doc"
+    # articulated checkpoint: the measured cost of an under-sized window
+    # and the exactness of a covering one
+    assert re.search(r"−4\.875|-4\.875", doc), (
+        "articulated-fixture D=1/D=2 AP cost missing — the D=1 throughput "
+        "mode may not ship without its measured worst case on record"
+    )
+    assert "D must cover the trained offset distribution" in doc
+
+
+def test_auto_window_policy_is_implemented_and_documented():
+    """The per-checkpoint window calibration the articulated A/B forces
+    (docs) must exist in code with its config knob."""
+    src_path = osp.join(
+        HERE, "..", "fami_pose_tpu", "engine", "evaluator.py"
+    )
+    with open(src_path) as f:
+        src = f.read()
+    assert "_maybe_auto_window" in src and "DCN_AUTO_WINDOW" in src
+    from fami_pose_tpu.config.defaults import get_default_cfg
+
+    cfg = get_default_cfg()
+    assert cfg.TPU.DCN_AUTO_WINDOW is False  # opt-in (parity default D stays)
+    assert int(cfg.TPU.DCN_AUTO_WINDOW_MAX) >= 6
+    assert "DCN_AUTO_WINDOW" in _read("SERVING.md")
 
 
 def test_noflip_serving_default_has_recorded_flip_ab():

@@ -55,6 +55,9 @@ def main():
     p.add_argument("--occlude", type=float, default=0.0,
                    help="--ckpt fixture marker-occlusion rate; must match "
                         "the checkpoint's")
+    p.add_argument("--skip-ap", action="store_true",
+                   help="skip the per-bound poseval AP evals and report only "
+                        "the decoded-px drift sweep (fast; forwards only)")
     args = p.parse_args()
     if args.ckpt:
         args.w48 = True
@@ -116,16 +119,7 @@ def main():
                 )()
                 variables = jax.device_get(variables)
 
-            # actual offset-conv outputs on a real fixture batch
-            raw = next(iter(ev.loader))
-            kf, sup = ev._prepare(raw)
-            _, inter = ev.model.apply(
-                variables, kf, sup, train=False,
-                capture_intermediates=lambda mdl, name: bool(
-                    mdl.name and "dcn_offset" in mdl.name
-                ),
-            )
-
+            # actual offset-conv outputs on EVERY fixture batch
             offs = []
 
             def collect(node, path=""):
@@ -138,7 +132,15 @@ def main():
                 elif "dcn_offset" in path:
                     offs.append(np.asarray(node, np.float32).ravel())
 
-            collect(inter["intermediates"])
+            for raw in ev.loader:
+                kf, sup = ev._prepare(raw)
+                _, inter = ev.model.apply(
+                    variables, kf, sup, train=False,
+                    capture_intermediates=lambda mdl, name: bool(
+                        mdl.name and "dcn_offset" in mdl.name
+                    ),
+                )
+                collect(inter["intermediates"])
             allo = np.abs(np.concatenate(offs)) if offs else np.zeros(1)
             offset_stats = {
                 "p50": np.percentile(allo, 50),
@@ -149,29 +151,38 @@ def main():
                 "frac>|4|": (allo > 4).mean(),
                 "frac>|6|": (allo > 6).mean(),
             }
-            probe_batch = (kf, sup, np.asarray(raw["center"]),
-                           np.asarray(raw["scale"]))
+            # ALL eval batches, not just the first: the px-drift probe must
+            # cover every keyframe the AP eval scores, or a flipped joint
+            # can sit outside the probed subset
+            probe_batch = [
+                (k, s, np.asarray(r["center"]), np.asarray(r["scale"]))
+                for r in ev.loader
+                for k, s in [ev._prepare(r)]
+            ]
             # print immediately: a crash in a later eval must not lose the
             # trained-offset distribution (the round-3 A/B died this way)
             print("== model offset-conv |offset| distribution "
-                  "(fixture batch) ==", flush=True)
+                  "(all eval batches) ==", flush=True)
             print(" ".join(f"{k}={v:.3f}" for k, v in offset_stats.items()),
                   flush=True)
 
-        # continuous drift vs the exact path on one fixture batch: the
+        # continuous drift vs the exact path over ALL eval batches: the
         # saturated fixture AP (100.0 across the board on overfit weights)
         # cannot discriminate small windows, px drift can
         from fami_pose_tpu.ops.heatmap import dark_get_final_preds
 
-        kf_p, sup_p, ctr_p, scl_p = probe_batch
-        hm_d, _ = jax.jit(
-            lambda v, a, b: ev.model.apply(v, a, b, train=False)
-        )(variables, kf_p, sup_p)
-        hm_d = np.asarray(hm_d, np.float32)
-        px_d, _ = dark_get_final_preds(
-            jnp.transpose(jnp.asarray(hm_d), (0, 3, 1, 2)), ctr_p, scl_p
-        )
-        px_d = np.asarray(px_d)
+        fwd = jax.jit(lambda v, a, b: ev.model.apply(v, a, b, train=False))
+        hm_parts, px_parts = [], []
+        for kf_p, sup_p, ctr_p, scl_p in probe_batch:
+            hm_b, _ = fwd(variables, kf_p, sup_p)
+            hm_b = np.asarray(hm_b, np.float32)
+            px_b, _ = dark_get_final_preds(
+                jnp.transpose(jnp.asarray(hm_b), (0, 3, 1, 2)), ctr_p, scl_p
+            )
+            hm_parts.append(hm_b)
+            px_parts.append(np.asarray(px_b))
+        hm_d = np.concatenate(hm_parts)
+        px_d = np.concatenate(px_parts)
         if d == 0:
             exact_hm, exact_px = hm_d, px_d
         dd = np.linalg.norm(px_d - exact_px, axis=-1).ravel()
@@ -188,23 +199,26 @@ def main():
         print(f"d_max={d} drift vs exact: " + " ".join(
             f"{k}={v:.4g}" for k, v in drift[d].items()), flush=True)
 
-        res = ev.eval_checkpoint(dict(variables))
-        results[d] = res["final"][0]  # per-joint AP OrderedDict
-        print(f"d_max={d}: " + ", ".join(
-            f"{k}={v:.2f}" for k, v in results[d].items()))
+        if not args.skip_ap:
+            res = ev.eval_checkpoint(dict(variables))
+            results[d] = res["final"][0]  # per-joint AP OrderedDict
+            print(f"d_max={d}: " + ", ".join(
+                f"{k}={v:.2f}" for k, v in results[d].items()))
 
-    print("\n== model offset-conv |offset| distribution (fixture batch) ==")
+    print("\n== model offset-conv |offset| distribution (all eval batches) ==")
     print(" ".join(f"{k}={v:.3f}" for k, v in offset_stats.items()))
 
-    print("\n== per-joint AP delta vs exact (d_max=0 unbounded gather) ==")
-    joints = list(results[0].keys())
-    header = "bound  " + " ".join(f"{j:>9s}" for j in joints)
-    print(header)
-    for d in args.bounds:
-        deltas = [results[d][j] - results[0][j] for j in joints]
-        print(f"d={d:<4d} " + " ".join(f"{x:9.3f}" for x in deltas))
+    if not args.skip_ap:
+        print("\n== per-joint AP delta vs exact (d_max=0 unbounded "
+              "gather) ==")
+        joints = list(results[0].keys())
+        header = "bound  " + " ".join(f"{j:>9s}" for j in joints)
+        print(header)
+        for d in args.bounds:
+            deltas = [results[d][j] - results[0][j] for j in joints]
+            print(f"d={d:<4d} " + " ".join(f"{x:9.3f}" for x in deltas))
 
-    print("\n== continuous drift vs exact (one fixture batch; decoded px "
+    print("\n== continuous drift vs exact (all eval batches; decoded px "
           "in original image coords) ==")
     print("bound  hm_mean|d|   hm_rel   px_p50   px_p95   px_max")
     for d in [0] + list(args.bounds):
