@@ -45,11 +45,19 @@ BENCH_STREAMING (default 1).
 
 import json
 import os
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def _progress(key, value=None):
+    # per-mode progress on stderr (stdout carries ONLY the final JSON line
+    # the driver parses); makes long relayed runs observable
+    msg = f"[bench] {key}" + ("" if value is None else f" = {value}")
+    print(msg, file=sys.stderr, flush=True)
 
 # persistent compile cache: first-run Mosaic/XLA compiles through the axon
 # relay are slow; cached binaries make repeat runs fast
@@ -195,12 +203,19 @@ def main():
             )
             return sums
 
+        _progress(
+            f"warmup streaming flip={flip_test} pipeline={pipeline}"
+        )
         np.asarray(loop(state0, kf))
         t0 = time.perf_counter()
         sums = np.asarray(loop(state0, kf))
         dt = time.perf_counter() - t0
         assert np.isfinite(sums).all()
-        return round(batch * iters / dt, 2)
+        rate = round(batch * iters / dt, 2)
+        _progress(
+            f"streaming flip={flip_test} pipeline={pipeline}", rate
+        )
+        return rate
 
     def measure(fn, v):
         @jax.jit
@@ -220,12 +235,15 @@ def main():
 
         # warmup / compile (fetch to host: on relayed platforms
         # block_until_ready alone does not guarantee execution finished)
+        _progress("warmup batch measure")
         np.asarray(loop(v, kf, sup))
         t0 = time.perf_counter()
         sums = np.asarray(loop(v, kf, sup))
         dt = time.perf_counter() - t0
         assert np.isfinite(sums).all()
-        return round(batch * iters / dt, 2)
+        rate = round(batch * iters / dt, 2)
+        _progress("batch measure", rate)
+        return rate
 
     m_bf16 = build(dtype, False, d_parity, use_pallas)
     m_int8 = build(dtype, True, d_int8, use_pallas)
