@@ -48,6 +48,12 @@ def main():
                    help="trained checkpoint (tools/sustained_train_w48.py)")
     p.add_argument("--int8", action="store_true",
                    help="also run the int8 serving backbone variant")
+    p.add_argument("--motion", default=None,
+                   choices=[None, "drift", "articulated"],
+                   help="fixture motion model — MUST match the one the "
+                        "checkpoint was trained with")
+    p.add_argument("--occlude", type=float, default=0.0,
+                   help="fixture occlusion rate — MUST match training")
     args = p.parse_args()
 
     from fixtures import make_cfg, make_posetrack_fixture
@@ -59,7 +65,7 @@ def main():
     root = tempfile.mkdtemp(prefix="flip_ab_")
     _, img_dir = make_posetrack_fixture(
         root, n_videos=2, n_frames=5, people_per_frame=2, seed=3,
-        draw_joints=True,
+        draw_joints=True, motion=args.motion, occlude=args.occlude,
     )
     cfg = make_cfg(osp.join(root, "json"), img_dir)
     cfg.MODEL.NAME = "FAMIPose"

@@ -47,6 +47,11 @@ def main():
                         "markers: occluded keyframes make temporal "
                         "alignment load-bearing, so the trained DCN offsets "
                         "become non-trivial (docs/DCN_OFFSET_BOUND.md)")
+    p.add_argument("--flip", action="store_true",
+                   help="train WITH flip augmentation (TRAIN.FLIP, the "
+                        "reference default) — required for a flip A/B with "
+                        "resolving power: a no-flip-trained checkpoint "
+                        "understates the flipped branch (tools/flip_ab.py)")
     args = p.parse_args()
 
     from fixtures import make_cfg, make_posetrack_fixture
@@ -76,7 +81,7 @@ def main():
     cfg.TRAIN.LR_STEP = [10000]
     cfg.TRAIN.SCALE_FACTOR = [0.0, 0.0]
     cfg.TRAIN.ROT_FACTOR = 0
-    cfg.TRAIN.FLIP = False
+    cfg.TRAIN.FLIP = bool(args.flip)
     cfg.DATASET.RANDOM_AUX_FRAME = False
     cfg.PRINT_FREQ = 1
     cfg.OUTPUT_DIR = osp.join(root, "out")
@@ -84,6 +89,9 @@ def main():
             "log": osp.join(root, "log")}
 
     half = args.epochs // 2
+
+    print(f"fixture + outputs under {root} "
+          f"(checkpoints: {dirs['checkpoints']})", flush=True)
 
     cfg1 = cfg.clone()
     cfg1.TRAIN.END_EPOCH = half
