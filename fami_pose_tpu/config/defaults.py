@@ -54,7 +54,6 @@ def get_default_cfg() -> CfgNode:
             "MESH_SHAPE": [-1],          # -1 => all available devices
             "COMPUTE_DTYPE": "bfloat16", # backbone/head compute dtype
             "PARAM_DTYPE": "float32",
-            "SYNC_BATCHNORM": False,      # per-replica BN matches DataParallel
             "PREFETCH_DEPTH": 2,
             "DONATE_TRAIN_STATE": True,
             # write per-epoch checkpoints on a background thread so the

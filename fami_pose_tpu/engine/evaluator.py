@@ -141,7 +141,17 @@ class Evaluator:
         if not bool(getattr(self.cfg.TPU, "DCN_AUTO_WINDOW", False)):
             return
         n_batches = max(1, int(getattr(self.cfg.TPU, "INT8_CALIB_BATCHES", 2)))
-        base = {k: v for k, v in variables.items() if k != "quant"}
+        if getattr(self.model, "backbone_quant", "off") == "int8":
+            # int8 serving: calibration ran first (eval_checkpoint order),
+            # so the quant collection exists and the offsets measured are
+            # those of the ACTUAL serving numerics
+            base = variables
+            assert "quant" in variables, (
+                "int8 model reached auto-window without quant scales — "
+                "eval_checkpoint must calibrate before windowing"
+            )
+        else:
+            base = {k: v for k, v in variables.items() if k != "quant"}
         offs = []
         seen = 0
         for raw in self.loader:
@@ -167,6 +177,16 @@ class Evaluator:
             if (allo > cand).mean() <= eps:
                 d = cand
                 break
+        if jax.process_count() > 1:
+            # each process measured its own loader slice, so the picked D
+            # can disagree across hosts; the compiled eval step must be
+            # identical everywhere — process 0's choice is authoritative
+            from jax.experimental import multihost_utils
+
+            d0 = multihost_utils.broadcast_one_to_all(
+                np.int32(-1 if d is None else d)
+            )
+            d = None if int(d0) < 0 else int(d0)
         self.logger.info(
             f"DCN auto-window: |offset| max={allo.max():.3f} "
             f"p99={np.percentile(allo, 99):.3f} px over {seen} calibration "
@@ -189,14 +209,6 @@ class Evaluator:
             return variables
         if "quant" in variables:
             return variables
-        if jax.process_count() > 1:
-            raise NotImplementedError(
-                "TPU.INT8_EVAL calibration is single-process: each process "
-                "would calibrate on its own data slice and the resulting "
-                "quant scales would diverge across hosts (replicated-"
-                "variable invariant violation). Calibrate single-process "
-                "and pass the 'quant' collection in explicitly."
-            )
         from fami_pose_tpu.models.quant import calibrate
 
         n_batches = max(1, int(getattr(self.cfg.TPU, "INT8_CALIB_BATCHES", 2)))
@@ -213,15 +225,32 @@ class Evaluator:
         )
         base = {k: v for k, v in variables.items() if k != "quant"}
         quant = calibrate(cal_model, base, batches, margin=margin, train=False)
+        quant = jax.device_get(quant)
+        if jax.process_count() > 1:
+            # each process calibrated on ITS loader slice (pure local
+            # compute, no collectives); process 0's scales are made
+            # authoritative so the replicated `quant` collection is
+            # bitwise identical on every host — the same invariant the
+            # auto-window broadcast protects
+            from jax.experimental import multihost_utils
+
+            quant = multihost_utils.broadcast_one_to_all(quant)
+            self.logger.info(
+                "int8 PTQ scales broadcast from process 0 to "
+                f"{jax.process_count()} processes"
+            )
         out = dict(variables)
-        out["quant"] = jax.device_get(quant)
+        out["quant"] = quant
         return out
 
     def eval_checkpoint(self, variables: dict):
         """Run the full eval loop; returns (name_value_final, name_value_bb)."""
         cfg = self.cfg
-        self._maybe_auto_window(variables)
+        # int8 PTQ first (quant scales are window-independent), THEN window
+        # calibration — the int8 model cannot be applied without its quant
+        # collection, and windowing on the serving numerics is the point
         variables = self._maybe_calibrate_int8(variables)
+        self._maybe_auto_window(variables)
         n = len(self.dataset)
         num_joints = int(cfg.MODEL.NUM_JOINTS)
         all_preds = np.zeros((n, num_joints, 3), np.float32)
