@@ -46,6 +46,24 @@ jax.distributed.initialize(
 assert jax.process_count() == 2, jax.process_count()
 assert jax.local_device_count() == 4 and jax.device_count() == 8
 
+# Create the cross-process Gloo context NOW, while both processes are in
+# lockstep from the initialize() rendezvous. The context is built lazily on
+# the first collective; if that first collective instead happens deep inside
+# the train step, the two processes can be minutes apart on a contended
+# 1-CPU host (each compiles independently) and the 30 s Gloo
+# GetKeyValue/connect deadline trips — observed as
+# "Gloo context initialization failed: DEADLINE_EXCEEDED".
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+_warm_mesh = Mesh(np.array(jax.devices()), ("d",))
+_x = jax.device_put(
+    np.arange(8, dtype=np.float32),
+    NamedSharding(_warm_mesh, PartitionSpec("d")),
+)
+np.asarray(jax.jit(lambda a: a.sum(), out_shardings=NamedSharding(
+    _warm_mesh, PartitionSpec()))(_x))  # all-reduce over all 8 devices
+
 import numpy as np
 from jax.experimental import multihost_utils
 
@@ -132,5 +150,22 @@ if pid == 0:
     assert "final" in res and "Mean" in dict(res["final"][0]), res
 else:
     assert res == {}, "non-zero process must not score the protocol"
+
+# ---- int8 eval: per-process PTQ calibration, process-0 scales broadcast
+# (engine/evaluator._maybe_calibrate_int8) — every host must end up with a
+# bitwise-identical replicated `quant` collection ----------------------
+cfg8 = cfg.clone()
+cfg8.TPU.INT8_EVAL = True
+ev8 = Evaluator(cfg8, output_dirs={"checkpoints": dirs["checkpoints"],
+                                   "results": cfg.OUTPUT_DIR})
+variables8 = ev8.load_variables(files[-1])
+variables8 = ev8._maybe_calibrate_int8(variables8)
+assert "quant" in variables8, "int8 eval model did not calibrate"
+print(f"QUANT_DIGEST {pid} {digest(variables8['quant'])}", flush=True)
+res8 = ev8.eval_checkpoint(variables8)
+if pid == 0:
+    assert "final" in res8 and "Mean" in dict(res8["final"][0]), res8
+else:
+    assert res8 == {}, "non-zero process must not score the protocol"
 
 print("WORKER_OK", flush=True)

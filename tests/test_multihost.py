@@ -137,10 +137,20 @@ def test_two_process_train_checkpoint_eval(tmp_path):
         assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
         assert "WORKER_OK" in out
     digests = {}
+    quant_digests = {}
     for out in outs:
         for line in out.splitlines():
             if line.startswith("DIGEST "):
                 _, wpid, d = line.split()
                 digests[wpid] = d
+            elif line.startswith("QUANT_DIGEST "):
+                _, wpid, d = line.split()
+                quant_digests[wpid] = d
     assert set(digests) == {"0", "1"}
     assert digests["0"] == digests["1"], "final states diverged across hosts"
+    # int8 PTQ: process 0's calibration scales are broadcast, so the
+    # replicated quant collection must be bitwise identical on both hosts
+    assert set(quant_digests) == {"0", "1"}
+    assert quant_digests["0"] == quant_digests["1"], (
+        "quant scales diverged across hosts"
+    )
