@@ -37,6 +37,7 @@ def main():
     p.add_argument("--out", default="/tmp/train_trace")
     p.add_argument("--top", type=int, default=30)
     p.add_argument("--bf16-grads", action="store_true")
+    p.add_argument("--no-donate", action="store_true")
     args = p.parse_args()
 
     from fami_pose_tpu.config import get_default_cfg
@@ -63,7 +64,11 @@ def main():
         model, tx, jax.random.PRNGKey(0),
         (jnp.zeros((1, h, w, 3)), jnp.zeros((1, h, w, 3 * n_sup))),
     )
-    step = make_train_step(model, donate=False, bf16_grads=args.bf16_grads)
+    # donate by default: state threads through the loop, so donation is
+    # safe here and matches the trainer's real step — tracing without it
+    # adds ~50 ms/step of output copies that misattribute the copy bucket
+    step = make_train_step(model, donate=not args.no_donate,
+                           bf16_grads=args.bf16_grads)
     state, m = step(state, batch)  # compile+warm
     float(m["loss"])
 
