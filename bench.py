@@ -25,7 +25,7 @@ never again):
   * The headline is measured FIRST; the record is emitted exactly once no
     matter what happens afterwards (normal exit, budget exhaustion, SIGTERM
     from an outer ``timeout``, or an exception in an extra mode).
-  * ``BENCH_TIME_BUDGET`` (seconds, default 1320) bounds the whole run via
+  * ``BENCH_TIME_BUDGET`` (seconds, default 1440) bounds the whole run via
     SIGALRM; extras that don't fit the remaining budget (estimated from the
     last committed BENCH_r*.json rates) are skipped and listed under
     ``"skipped"`` in the record — no silent truncation.
@@ -66,7 +66,7 @@ Env knobs: BENCH_BATCH (default 128), BENCH_ITERS (default 20), BENCH_DTYPE
 (bfloat16|float32), BENCH_PALLAS (default 1), BENCH_DCN_MAX_OFFSET
 (default 4 parity / 1 int8 serving), BENCH_HEADLINE
 (stream_int8 | bf16 | int8; default stream_int8), BENCH_EXTRAS (default 1),
-BENCH_STREAMING (default 1), BENCH_TIME_BUDGET (seconds, default 1320),
+BENCH_STREAMING (default 1), BENCH_TIME_BUDGET (seconds, default 1440),
 BENCH_OUTLIER_RETRY (default 1).
 """
 
@@ -172,7 +172,7 @@ def build(dtype, int8: bool, max_off: int, use_pallas: bool):
 
 def main():
     t_start = time.perf_counter()
-    budget = float(os.environ.get("BENCH_TIME_BUDGET", "1320"))
+    budget = float(os.environ.get("BENCH_TIME_BUDGET", "1440"))
     batch = int(os.environ.get("BENCH_BATCH", "128"))
     iters = int(os.environ.get("BENCH_ITERS", "20"))
     dtype = (
